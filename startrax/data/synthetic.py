@@ -1,0 +1,241 @@
+"""Procedural multi-view dynamic scene for tests and benchmarks.
+
+The reference trains on CARLA captures that are not shipped with the code; to
+make the framework self-verifying we synthesize a scene with an *analytic*
+static density field plus K rigid "vehicles" moving along known SE(3)
+trajectories, rendered through the same compositing math the models use
+(golden-tested independently in tests/test_compositing.py). This yields
+pixel-perfect self-consistent supervision:
+
+- appearance init must reconstruct the static field (PSNR gate),
+- online training must recover the known vehicle poses from photometric
+  loss alone — the end-to-end property the whole system exists for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..ops import rays as ray_ops
+
+# --------------------------------------------------------------------------
+# Analytic fields: a handful of colored Gaussian blobs + a ground slab.
+# --------------------------------------------------------------------------
+
+_STATIC_BLOBS = np.array(
+    [
+        # x, y, z, radius, sigma_peak, r, g, b
+        [0.0, -0.1, 0.0, 0.55, 28.0, 0.9, 0.25, 0.2],
+        [0.9, 0.15, -0.5, 0.4, 24.0, 0.2, 0.8, 0.3],
+        [-0.8, 0.05, -0.4, 0.45, 24.0, 0.25, 0.35, 0.9],
+        [0.2, 0.6, 0.6, 0.3, 20.0, 0.9, 0.85, 0.2],
+    ],
+    dtype=np.float32,
+)
+
+_VEHICLE_COLORS = np.array(
+    [[0.95, 0.55, 0.1], [0.1, 0.9, 0.9], [0.8, 0.1, 0.8]], dtype=np.float32
+)
+
+
+def static_sigma_rgb(pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Analytic static field. pts [..., 3] -> (sigma [...], rgb [..., 3])."""
+    sigma = np.zeros(pts.shape[:-1], np.float32)
+    rgb_acc = np.zeros(pts.shape[:-1] + (3,), np.float32)
+    for bx, by, bz, rad, peak, r, g, b in _STATIC_BLOBS:
+        d2 = np.sum((pts - np.array([bx, by, bz], np.float32)) ** 2, -1)
+        s = peak * np.exp(-d2 / (2 * rad * rad / 9.0))
+        sigma += s
+        rgb_acc += s[..., None] * np.array([r, g, b], np.float32)
+    # ground slab at y = -1
+    ground = 20.0 * np.exp(-((pts[..., 1] + 1.0) ** 2) / 0.005)
+    sigma += ground
+    rgb_acc += ground[..., None] * np.array([0.45, 0.45, 0.5], np.float32)
+    rgb = rgb_acc / np.maximum(sigma[..., None], 1e-8)
+    return sigma, np.clip(rgb, 0.0, 1.0)
+
+
+def vehicle_sigma_rgb(pts_canonical: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Analytic vehicle k in its canonical frame: an anisotropic blob around
+    the origin (long axis = x, like a car)."""
+    scales = np.array([0.45, 0.18, 0.22], np.float32)
+    d2 = np.sum((pts_canonical / scales) ** 2, -1)
+    sigma = 60.0 * np.exp(-d2 / 2.0)
+    rgb = np.broadcast_to(_VEHICLE_COLORS[k % 3], pts_canonical.shape[:-1] + (3,)).copy()
+    return sigma.astype(np.float32), rgb
+
+
+# --------------------------------------------------------------------------
+# Scene
+# --------------------------------------------------------------------------
+
+
+def _look_at(eye: np.ndarray, center: np.ndarray, up=np.array([0.0, 1.0, 0.0])):
+    """c2w matrix in NeRF convention (camera looks along -z)."""
+    f = center - eye
+    f = f / np.linalg.norm(f)
+    s = np.cross(f, up)
+    s = s / np.linalg.norm(s)
+    u = np.cross(s, f)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, 0] = s
+    c2w[:3, 1] = u
+    c2w[:3, 2] = -f
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def _quat_from_yaw(yaw: float) -> np.ndarray:
+    return np.array([0.0, np.sin(yaw / 2), 0.0, np.cos(yaw / 2)], np.float32)
+
+
+@dataclasses.dataclass
+class SyntheticScene:
+    """A ring of cameras around an origin-centered scene with K vehicles
+    translating/yawing over F frames."""
+
+    num_vehicles: int = 1
+    num_frames: int = 8
+    H: int = 64
+    W: int = 64
+    focal: float = 64.0
+    near: float = 2.0
+    far: float = 8.0
+    n_march: int = 192  # samples for ground-truth marching
+    cam_radius: float = 4.0
+    cam_height: float = 1.2
+
+    @property
+    def K(self) -> np.ndarray:
+        return ray_ops.intrinsics_matrix(self.H, self.W, self.focal)
+
+    def camera(self, view: int, num_views: int) -> np.ndarray:
+        ang = 2 * np.pi * view / num_views
+        eye = np.array(
+            [self.cam_radius * np.cos(ang), self.cam_height, self.cam_radius * np.sin(ang)],
+            np.float32,
+        )
+        return _look_at(eye, np.zeros(3, np.float32))
+
+    def gt_pose_world(self, frame: int, k: int) -> np.ndarray:
+        """World-from-canonical pose of vehicle k at `frame`, as a 7-vec.
+
+        Vehicle 0 translates along x with slight yaw; vehicle 1 along z."""
+        t = frame / max(self.num_frames - 1, 1)
+        if k % 2 == 0:
+            trans = np.array([-1.2 + 2.4 * t, -0.55, 1.1], np.float32)
+            yaw = 0.3 * t
+        else:
+            trans = np.array([1.0, -0.55, -1.3 + 2.2 * t], np.float32)
+            yaw = -0.25 * t
+        return np.concatenate([trans, _quat_from_yaw(yaw)]).astype(np.float32)
+
+    def gt_relative_pose(self, frame: int, k: int) -> np.ndarray:
+        """Pose used by the model: canonical(frame-0)-from-world at `frame`
+        composed so that warping world points by it lands in the frame-0
+        vehicle frame. This is inv(world_pose_f) in our parameterization of
+        sample-point warps (the model applies pose directly to world pts)."""
+        from scipy.spatial.transform import Rotation
+
+        p = self.gt_pose_world(frame, k)
+        R = Rotation.from_quat(p[3:]).as_matrix().astype(np.float32)
+        t = p[:3]
+        Rinv = R.T
+        tinv = -Rinv @ t
+        q = Rotation.from_matrix(Rinv).as_quat().astype(np.float32)
+        return np.concatenate([tinv, q]).astype(np.float32)
+
+    def sigma_rgb_at(self, pts: np.ndarray, frame: int):
+        """Total scene density/color at world pts for a given frame."""
+        from scipy.spatial.transform import Rotation
+
+        sigma, rgb = static_sigma_rgb(pts)
+        rgb_acc = sigma[..., None] * rgb
+        for k in range(self.num_vehicles):
+            pose = self.gt_relative_pose(frame, k)
+            R = Rotation.from_quat(pose[3:]).as_matrix().astype(np.float32)
+            pts_can = np.einsum("ij,...j->...i", R, pts) + pose[:3]
+            s_k, rgb_k = vehicle_sigma_rgb(pts_can, k)
+            sigma += s_k
+            rgb_acc += s_k[..., None] * rgb_k
+        rgb = rgb_acc / np.maximum(sigma[..., None], 1e-8)
+        return sigma, np.clip(rgb, 0.0, 1.0)
+
+    def render_frame(self, view: int, num_views: int, frame: int):
+        """Ground-truth render: fine ray march through the analytic fields.
+
+        Returns (rgb [H,W,3], depth [H,W], dyn_mask [H,W] bool)."""
+        c2w = self.camera(view, num_views)
+        rays_o, rays_d = ray_ops.get_rays_np(self.H, self.W, self.K, c2w)
+        z = np.linspace(self.near, self.far, self.n_march, dtype=np.float32)
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z[:, None]  # [H,W,S,3]
+
+        sigma, rgb = self.sigma_rgb_at(pts, frame)
+        sigma_static, _ = static_sigma_rgb(pts)
+
+        dists = np.diff(z, append=z[-1] + (z[1] - z[0]))
+        dists = dists * np.linalg.norm(rays_d, axis=-1)[..., None]
+        alpha = 1.0 - np.exp(-sigma * dists)
+        T = np.cumprod(
+            np.concatenate([np.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], -1), -1
+        )[..., :-1]
+        w = alpha * T
+        img = np.sum(w[..., None] * rgb, axis=-2)
+        depth = np.sum(w * z, axis=-1)
+
+        # dynamic mask: rays whose visible weight is dominated by dynamic density
+        sigma_dyn = sigma - sigma_static
+        dyn_mask = np.sum(w * (sigma_dyn > 0.5 * sigma), axis=-1) > 0.1
+        return img.astype(np.float32), depth.astype(np.float32), dyn_mask
+
+    def make_dataset(self, num_views: int = 6, frames=None) -> Dict[str, np.ndarray]:
+        """All views x frames: images, rays, depths, masks, GT poses."""
+        frames = list(range(self.num_frames)) if frames is None else frames
+        imgs, depths, masks, rays_o_all, rays_d_all = [], [], [], [], []
+        for v in range(num_views):
+            c2w = self.camera(v, num_views)
+            ro, rd = ray_ops.get_rays_np(self.H, self.W, self.K, c2w)
+            row_i, row_d, row_m = [], [], []
+            for f in frames:
+                img, dep, m = self.render_frame(v, num_views, f)
+                row_i.append(img)
+                row_d.append(dep)
+                row_m.append(m)
+            imgs.append(np.stack(row_i))
+            depths.append(np.stack(row_d))
+            masks.append(np.stack(row_m))
+            rays_o_all.append(ro)
+            rays_d_all.append(rd)
+        gt_rel = np.stack(
+            [
+                np.stack([self.gt_relative_pose(f, k) for k in range(self.num_vehicles)])
+                for f in frames
+            ]
+        )  # [F, K, 7]
+        return {
+            "images": np.stack(imgs),  # [V, F, H, W, 3]
+            "depths": np.stack(depths),  # [V, F, H, W]
+            "dyn_masks": np.stack(masks),  # [V, F, H, W]
+            "rays_o": np.stack(rays_o_all),  # [V, H, W, 3]
+            "rays_d": np.stack(rays_d_all),  # [V, H, W, 3]
+            "gt_relative_poses": gt_rel,  # [F, K, 7]
+        }
+
+
+def sample_ray_batch(rng, data, n_rand: int, frame: int):
+    """Random ray minibatch from one frame across all views (the reference's
+    pseudo-epoch sampling, datasets/carla_star_app_init.py)."""
+    V, F, H, W, _ = data["images"].shape
+    v = rng.integers(0, V, size=n_rand)
+    y = rng.integers(0, H, size=n_rand)
+    x = rng.integers(0, W, size=n_rand)
+    return {
+        "rays_o": data["rays_o"][v, y, x],
+        "rays_d": data["rays_d"][v, y, x],
+        "target": data["images"][v, frame, y, x],
+        "target_depth": data["depths"][v, frame, y, x],
+        "frame": np.int32(frame),
+    }

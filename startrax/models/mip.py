@@ -1,0 +1,309 @@
+"""STaR-mip: the mip-NeRF variant of STaR using integrated positional
+encoding over conical frustums.
+
+TPU-native counterpart of the reference models/star_mipnerf.py +
+models/rendering_starmip.py (which lean on nerfstudio's NeRFField,
+Uniform/PDFSampler and renderers). Differences by design:
+
+- IPE (ops.encoding.integrated_positional_encoding) replaces nerfstudio's
+  NeRFEncoding(covs=...) (reference mipnerf.py:58-64: 24 position freqs,
+  4 direction freqs, include_input),
+- frustums are transformed per vehicle by warping origins/directions with
+  ops.lie (reference star_mipnerf.py:190-233 __transform_frustums),
+- compositing follows the nerfstudio convention used by the reference
+  (rendering_starmip.py:32-63): alpha = 1 - exp(-delta * density),
+  T = exp(-cumsum(delta * density)) — densities are already post-softplus,
+- the K-vehicle loop is vmap over stacked params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie
+from ..ops.encoding import (
+    integrated_positional_encoding,
+    positional_encoding,
+    conical_frustum_to_gaussian,
+)
+from ..ops.regularizers import (
+    alpha_entropy,
+    dynamic_vs_static_reg,
+    ray_reg,
+    static_reg,
+    dynamic_reg,
+)
+from ..ops.sampling import sample_pdf
+from .fields import FieldConfig, _dense, _linear, _kaiming_normal, _xavier_uniform
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class MipConfig:
+    num_vehicles: int = 1
+    depth: int = 8
+    width: int = 256
+    num_freqs_pos: int = 16
+    num_freqs_dir: int = 4
+    n_samples: int = 128
+    n_importance: int = 128
+    near: float = 3.0
+    far: float = 80.0
+    base_radius: float = 0.0005  # frustum radius at unit distance
+    compute_dtype: Any = jnp.bfloat16
+
+    @property
+    def input_ch(self) -> int:
+        # IPE has no raw-input concat; mean is encoded only through sin/cos.
+        return 2 * self.num_freqs_pos * 3
+
+    @property
+    def input_ch_views(self) -> int:
+        return 3 + 2 * self.num_freqs_dir * 3
+
+
+def init_mip_field(key, cfg: MipConfig) -> Params:
+    W = cfg.width
+    keys = jax.random.split(key, 6 + cfg.depth)
+    layers = []
+    d_in = cfg.input_ch
+    for i in range(cfg.depth):
+        # skip connection re-injecting the encoding at the middle layer
+        if i == cfg.depth // 2 and i > 0:
+            d_in = W + cfg.input_ch
+        layers.append(_linear(keys[6 + i], d_in, W))
+        d_in = W
+    return {
+        "layers": layers,
+        "density": _linear(keys[0], W, 1),
+        "feature": _linear(keys[1], W, W),
+        "views": _linear(keys[2], W + cfg.input_ch_views, W // 2),
+        "rgb": _linear(keys[3], W // 2, 3, init=_xavier_uniform),
+    }
+
+
+def init_star_mip(key, cfg: MipConfig) -> Params:
+    k1, k2 = jax.random.split(key)
+    dyn_keys = jax.random.split(k2, cfg.num_vehicles)
+    return {
+        "static": init_mip_field(k1, cfg),
+        "dynamic": jax.vmap(lambda k: init_mip_field(k, cfg))(dyn_keys),
+    }
+
+
+def apply_mip_field(params: Params, cfg: MipConfig, mean, cov_diag, viewdirs):
+    """Evaluate the IPE field on frustum Gaussians.
+
+    mean/cov_diag: [R, S, 3]; viewdirs: [R, 3].
+    Returns (density [R, S] post-softplus, rgb [R, S, 3] post-sigmoid) —
+    matching nerfstudio's NeRFField output convention used by the reference.
+    """
+    R, S = mean.shape[0], mean.shape[1]
+    x = integrated_positional_encoding(
+        mean.reshape(-1, 3), cov_diag.reshape(-1, 3), cfg.num_freqs_pos
+    )
+    dirs = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+    emb_dirs = positional_encoding(dirs, cfg.num_freqs_dir)
+
+    cd = cfg.compute_dtype
+    h = x
+    for i, layer in enumerate(params["layers"]):
+        if i == cfg.depth // 2 and i > 0:
+            h = jnp.concatenate([h, x], axis=-1)
+        h = jax.nn.relu(_dense(layer, h, cd))
+
+    density = jax.nn.softplus(_dense(params["density"], h, cd)[..., 0])
+    feature = _dense(params["feature"], h, cd)
+    hv = jax.nn.relu(_dense(params["views"], jnp.concatenate([feature, emb_dirs], -1), cd))
+    rgb = jax.nn.sigmoid(_dense(params["rgb"], hv, cd))
+    return density.reshape(R, S), rgb.reshape(R, S, 3)
+
+
+def uniform_frustum_bins(key, n_rays: int, near: float, far: float, n_samples: int):
+    """[R, S+1] bin edges, jittered when key is given (UniformSampler)."""
+    edges = jnp.linspace(near, far, n_samples + 1)
+    edges = jnp.broadcast_to(edges, (n_rays, n_samples + 1))
+    if key is not None:
+        mids = 0.5 * (edges[..., 1:] + edges[..., :-1])
+        upper = jnp.concatenate([mids, edges[..., -1:]], -1)
+        lower = jnp.concatenate([edges[..., :1], mids], -1)
+        u = jax.random.uniform(key, edges.shape)
+        edges = lower + (upper - lower) * u
+        edges = jnp.sort(edges, axis=-1)
+    return edges
+
+
+def pdf_frustum_bins(key, bins, weights, n_importance: int, det: bool):
+    """Importance-resampled bin edges from coarse weights (PDFSampler)."""
+    mids = 0.5 * (bins[..., 1:] + bins[..., :-1])
+    new_edges = sample_pdf(key, mids, weights[..., 1:-1], n_importance + 1, det=det)
+    return jnp.sort(new_edges, axis=-1)
+
+
+def mip_composite(density, rgb, bins, z_mids):
+    """nerfstudio-style compositing (reference rendering_starmip.py:32-63).
+
+    density/rgb: [R, S(, 3)]; bins: [R, S+1] -> dict of maps + weights.
+    """
+    deltas = bins[..., 1:] - bins[..., :-1]
+    delta_density = deltas * density
+    alphas = 1.0 - jnp.exp(-delta_density)
+    trans = jnp.exp(
+        -jnp.concatenate(
+            [jnp.zeros_like(delta_density[..., :1]), jnp.cumsum(delta_density[..., :-1], -1)],
+            axis=-1,
+        )
+    )
+    weights = jnp.nan_to_num(alphas * trans)
+    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    acc = jnp.sum(weights, axis=-1)
+    depth = jnp.sum(weights * z_mids, axis=-1)
+    return {
+        "rgb": rgb_map,
+        "acc": acc,
+        "depth": depth,
+        "weights": weights,
+        "alphas": alphas,
+        "trans": trans,
+    }
+
+
+def mip_composite_star(
+    density_s, rgb_s, density_d, rgb_d, bins, z_mids, with_test_outputs: bool = False
+):
+    """Joint static+dynamic compositing for STaR-mip
+    (reference rendering_starmip.py get_starmip_online_outputs).
+
+    density_s [R, S]; density_d [R, K, S]; rgb_* [..., 3]."""
+    deltas = bins[..., 1:] - bins[..., :-1]
+
+    dd_s = deltas * density_s
+    dd_d = deltas[:, None, :] * density_d
+    dd_tot = dd_s + jnp.sum(dd_d, axis=1)
+
+    def trans(dd):
+        return jnp.exp(
+            -jnp.concatenate(
+                [jnp.zeros_like(dd[..., :1]), jnp.cumsum(dd[..., :-1], -1)], axis=-1
+            )
+        )
+
+    alpha_s = 1.0 - jnp.exp(-dd_s)
+    alpha_d = 1.0 - jnp.exp(-dd_d)
+    T = trans(dd_tot)
+    T_s = trans(dd_s)
+    T_d = trans(dd_d)
+
+    rgb_map = jnp.sum(
+        T[..., None]
+        * (alpha_s[..., None] * rgb_s + jnp.sum(alpha_d[..., None] * rgb_d, axis=1)),
+        axis=-2,
+    )
+    rgb_map_static = jnp.sum(T_s[..., None] * alpha_s[..., None] * rgb_s, axis=-2)
+    rgb_map_dynamic = jnp.sum(T_d[..., None] * alpha_d[..., None] * rgb_d, axis=-2)
+
+    weights = T * (1.0 - jnp.exp(-dd_tot))
+    depth = jnp.sum(weights * z_mids, axis=-1)
+    acc = jnp.sum(weights, axis=-1)
+
+    sigma_sum = density_s + jnp.sum(density_d, axis=1)
+    result = {
+        "rgb": rgb_map,
+        "acc": acc,
+        "depth": depth,
+        "weights": weights,
+        "rgb_static": rgb_map_static,
+        "rgb_dynamic": rgb_map_dynamic,
+        "depth_dynamic": jnp.sum(T_d * alpha_d * z_mids[:, None, :], axis=-1),
+        "dynamic_transmittance": T_d[:, :, -1],
+        "loss_alpha_entropy": alpha_entropy(alpha_s, alpha_d),
+        "loss_dynamic_vs_static_reg": dynamic_vs_static_reg(alpha_s, alpha_d),
+        "loss_ray_reg": ray_reg(density_d, sigma_sum),
+        "loss_static_reg": static_reg(density_s, alpha_s),
+        "loss_dynamic_reg": dynamic_reg(density_d),
+    }
+    if with_test_outputs:
+        dd_d_all = jnp.sum(dd_d, axis=1)
+        T_d_all = trans(dd_d_all)
+        result["rgb_dynamic_all"] = jnp.sum(
+            T_d_all[..., None] * jnp.sum(alpha_d[..., None] * rgb_d, axis=1), axis=-2
+        )
+    return result
+
+
+def _eval_pass(params, cfg, rays_o, viewdirs, bins, pose, with_test_outputs):
+    t0, t1 = bins[..., :-1], bins[..., 1:]
+    z_mids = 0.5 * (t0 + t1)
+    mean, cov = conical_frustum_to_gaussian(
+        rays_o[..., None, :], viewdirs[..., None, :], t0, t1, cfg.base_radius
+    )
+    density_s, rgb_s = apply_mip_field(params["static"], cfg, mean, cov, viewdirs)
+
+    if pose is None:
+        return mip_composite(density_s, rgb_s, bins, z_mids)
+
+    # Transform the frustum Gaussians into each vehicle frame: warp origins
+    # and directions; starts/ends (and thus deltas) are invariant under the
+    # rigid transform (reference star_mipnerf.py:209-216).
+    o_dyn = lie.se3_act(pose[:, None, :], rays_o[None])  # [K, R, 3]
+    d_dyn = lie.so3_act(pose[:, None, 3:7], viewdirs[None])  # [K, R, 3]
+    mean_d, cov_d = conical_frustum_to_gaussian(
+        o_dyn[..., None, :], d_dyn[..., None, :], t0[None], t1[None], cfg.base_radius
+    )
+    density_d, rgb_d = jax.vmap(
+        lambda p, m, c, v: apply_mip_field(p, cfg, m, c, v)
+    )(params["dynamic"], mean_d, cov_d, d_dyn)
+    density_d = jnp.moveaxis(density_d, 0, 1)  # [R, K, S]
+    rgb_d = jnp.moveaxis(rgb_d, 0, 1)
+
+    return mip_composite_star(
+        density_s, rgb_s, density_d, rgb_d, bins, z_mids,
+        with_test_outputs=with_test_outputs,
+    )
+
+
+def render_star_mip(
+    params: Params,
+    cfg: MipConfig,
+    rays_o,
+    rays_d,
+    key=None,
+    pose=None,
+    train: bool = True,
+    with_test_outputs: bool = False,
+):
+    """Uniform pass -> PDF resample -> fine pass over conical frustums.
+
+    Mirrors the reference __forward_app_init / __forward_online
+    (star_mipnerf.py:263-357) with coarse outputs suffixed "0"."""
+    n_rays = rays_o.shape[0]
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    if key is not None:
+        k_uni, k_pdf = jax.random.split(key)
+    else:
+        k_uni = k_pdf = None
+
+    bins = uniform_frustum_bins(
+        k_uni if train else None, n_rays, cfg.near, cfg.far, cfg.n_samples
+    )
+    result_coarse = _eval_pass(params, cfg, rays_o, viewdirs, bins, pose, with_test_outputs)
+    result = {f"{k}0": v for k, v in result_coarse.items()}
+
+    if cfg.n_importance > 0:
+        bins_fine = pdf_frustum_bins(
+            k_pdf if train else None, bins,
+            jax.lax.stop_gradient(result_coarse["weights"]),
+            cfg.n_importance, det=not train,
+        )
+        result_fine = _eval_pass(
+            params, cfg, rays_o, viewdirs, bins_fine, pose, with_test_outputs
+        )
+        result.update(result_fine)
+
+    return result

@@ -1,0 +1,225 @@
+"""The STaR network: one static radiance field + K rigid dynamic fields,
+composited under a joint transmittance, with differentiable SE(3) pose warps.
+
+TPU-native counterpart of the reference models/star__.py and the render
+orchestrators in models/rendering__.py:115-298. Key re-designs:
+
+- no ray `chunk` loop (star__.py:84-100): the whole ray batch is resident in
+  HBM and evaluated in one jitted graph; large eval renders tile instead
+  (eval/render.py),
+- the K-vehicle loop (star__.py:207-210) is jax.vmap over stacked params,
+- the pose warp (star__.py:187-199: pp.SE3(pose).Act) is ops.lie.se3_act —
+  pure XLA, so pose gradients flow photometric-loss -> compositing -> field
+  inputs -> quaternion parameters under jax.grad.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import lie
+from ..ops.compositing import raw2outputs, raw2outputs_star
+from ..ops.sampling import stratified_z_vals, pts_from_z, hierarchical_z_vals
+from .fields import (
+    FieldConfig,
+    init_field,
+    apply_field,
+    init_stacked_fields,
+    apply_stacked_fields,
+)
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class StarConfig:
+    """Model + rendering configuration (mirrors the reference config flags)."""
+
+    num_vehicles: int = 1
+    netdepth: int = 8
+    netdepth_fine: int = 8
+    netwidth: int = 256
+    netwidth_fine: int = 256
+    multires: int = 10
+    multires_views: int = 4
+    n_samples: int = 256
+    n_importance: int = 256
+    near: float = 3.0
+    far: float = 80.0
+    far_dist: float = 1e10
+    raw_noise_std: float = 0.0
+    white_bkgd: bool = False
+    lindisp: bool = False
+    perturb: float = 1.0
+    end_barf: int = -1
+    compute_dtype: Any = jnp.bfloat16
+
+    def static_field(self, fine: bool = False) -> FieldConfig:
+        return FieldConfig(
+            depth=self.netdepth_fine if fine else self.netdepth,
+            width=self.netwidth_fine if fine else self.netwidth,
+            multires=self.multires,
+            multires_views=self.multires_views,
+            end_barf=self.end_barf,
+            compute_dtype=self.compute_dtype,
+        )
+
+    def dynamic_field(self, fine: bool = False) -> FieldConfig:
+        # Dynamic fields are half-depth (reference star__.py:41-57).
+        cfg = self.static_field(fine)
+        return dataclasses.replace(cfg, depth=cfg.depth // 2)
+
+
+def init_star(key, cfg: StarConfig) -> Params:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params: Params = {
+        "static_coarse": init_field(k1, cfg.static_field()),
+        "dynamic_coarse": init_stacked_fields(k3, cfg.dynamic_field(), cfg.num_vehicles),
+    }
+    if cfg.n_importance > 0:
+        params["static_fine"] = init_field(k2, cfg.static_field(fine=True))
+        params["dynamic_fine"] = init_stacked_fields(
+            k4, cfg.dynamic_field(fine=True), cfg.num_vehicles
+        )
+    return params
+
+
+def warp_to_vehicle_frames(pose, pts, viewdirs):
+    """Transform world-frame sample points and view directions into each
+    vehicle's canonical frame.
+
+    pose: [K, 7] SE(3) 7-vecs; pts: [R, S, 3]; viewdirs: [R, 3].
+    Returns pts_dyn [K, R, S, 3], viewdirs_dyn [K, R, 3].
+    """
+    pts_dyn = lie.se3_act(pose[:, None, None, :], pts[None])
+    dirs_dyn = lie.so3_act(pose[:, None, 3:7], viewdirs[None])
+    return pts_dyn, dirs_dyn
+
+
+def apply_star(
+    params: Params,
+    cfg: StarConfig,
+    pts,
+    viewdirs,
+    z_vals,
+    rays_d,
+    pose=None,
+    is_coarse: bool = True,
+    step=None,
+    noise_key=None,
+    with_test_outputs: bool = False,
+):
+    """One coarse or fine pass (reference star__.py:118-225 forward_chunk).
+
+    pose=None is the appearance-init path (static field only); otherwise pose
+    is [K, 7] and the static + K dynamic fields composite jointly.
+    """
+    static_params = params["static_coarse"] if is_coarse else params["static_fine"]
+    static_cfg = cfg.static_field(fine=not is_coarse)
+
+    raw_alpha_s, raw_rgb_s = apply_field(static_params, static_cfg, pts, viewdirs, step=None)
+
+    noise = None
+    if noise_key is not None and cfg.raw_noise_std > 0:
+        noise = cfg.raw_noise_std * jax.random.normal(noise_key, raw_alpha_s.shape)
+
+    if pose is None:
+        return raw2outputs(
+            raw_alpha_s,
+            raw_rgb_s,
+            z_vals,
+            rays_d,
+            noise=noise,
+            white_bkgd=cfg.white_bkgd,
+            far_dist=cfg.far_dist,
+        )
+
+    dyn_params = params["dynamic_coarse"] if is_coarse else params["dynamic_fine"]
+    dyn_cfg = cfg.dynamic_field(fine=not is_coarse)
+
+    pts_dyn, dirs_dyn = warp_to_vehicle_frames(pose, pts, viewdirs)
+    raw_alpha_d, raw_rgb_d = apply_stacked_fields(dyn_params, dyn_cfg, pts_dyn, dirs_dyn, step=step)
+    raw_alpha_d = jnp.moveaxis(raw_alpha_d, 0, 1)  # [R, K, S]
+    raw_rgb_d = jnp.moveaxis(raw_rgb_d, 0, 1)  # [R, K, S, 3]
+
+    # Density noise is used only during appearance init (star__.py:219-222).
+    return raw2outputs_star(
+        raw_alpha_s,
+        raw_rgb_s,
+        raw_alpha_d,
+        raw_rgb_d,
+        z_vals,
+        rays_d,
+        noise=None,
+        white_bkgd=cfg.white_bkgd,
+        far_dist=cfg.far_dist,
+        with_test_outputs=with_test_outputs,
+    )
+
+
+def render_star(
+    params: Params,
+    cfg: StarConfig,
+    rays_o,
+    rays_d,
+    key=None,
+    pose=None,
+    train: bool = True,
+    step=None,
+    with_test_outputs: bool = False,
+):
+    """Full coarse -> importance-resample -> fine render of a ray batch.
+
+    Covers both reference orchestrators: render_star_appinit (pose=None,
+    rendering__.py:115-149) and render_star_online (rendering__.py:249-298).
+    Coarse outputs get a "0" suffix; fine outputs keep bare names; adds z_std.
+    """
+    n_rays = rays_o.shape[0]
+    if key is not None:
+        k_strat, k_pdf, k_noise = jax.random.split(key, 3)
+    else:
+        k_strat = k_pdf = k_noise = None
+
+    z_vals = stratified_z_vals(
+        k_strat if train else None,
+        n_rays,
+        cfg.near,
+        cfg.far,
+        cfg.n_samples,
+        lindisp=cfg.lindisp,
+        perturb=cfg.perturb if train else 0.0,
+    )
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    pts = pts_from_z(rays_o, rays_d, z_vals)
+
+    result_coarse = apply_star(
+        params, cfg, pts, viewdirs, z_vals, rays_d,
+        pose=pose, is_coarse=True, step=step,
+        noise_key=k_noise if train else None,
+        with_test_outputs=with_test_outputs,
+    )
+    result = {f"{k}0": v for k, v in result_coarse.items()}
+
+    if cfg.n_importance > 0:
+        z_union, z_samples = hierarchical_z_vals(
+            k_pdf if train else None,
+            z_vals,
+            result_coarse["weights"],
+            cfg.n_importance,
+            det=not train,
+        )
+        pts_fine = pts_from_z(rays_o, rays_d, z_union)
+        result_fine = apply_star(
+            params, cfg, pts_fine, viewdirs, z_union, rays_d,
+            pose=pose, is_coarse=False, step=step,
+            noise_key=k_noise if train else None,
+            with_test_outputs=with_test_outputs,
+        )
+        result.update(result_fine)
+        result["z_std"] = jnp.std(z_samples, axis=-1)
+
+    return result

@@ -1,0 +1,204 @@
+"""Volume rendering: alpha compositing for a single field (NeRF) and the STaR
+multi-field composition (one static field + K rigid dynamic fields sharing a
+joint transmittance).
+
+Pure-function counterpart of the reference raw2outputs / raw2outputs_star
+(models/rendering__.py:301-576). Numerics match the reference in f32:
+softplus-based alpha, 1e-10 transmittance guard, f32-eps clamps. The vehicle
+axis is vectorized (the reference loops in Python, star__.py:207-210).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import EPS, TRANS_EPS, DISP_EPS
+from .regularizers import (
+    alpha_entropy,
+    dynamic_vs_static_reg,
+    ray_reg,
+    static_reg,
+    dynamic_reg,
+)
+
+
+def raw2alpha(raw, dists):
+    """alpha = 1 - exp(-softplus(raw) * dist)  (rendering__.py:301-303)."""
+    return 1.0 - jnp.exp(-jax.nn.softplus(raw) * dists)
+
+
+def _dists_from_z(z_vals, rays_d, far_dist):
+    """Inter-sample distances with a far cap appended, scaled by |rays_d|."""
+    d = z_vals[..., 1:] - z_vals[..., :-1]
+    last = jnp.full_like(d[..., :1], far_dist)
+    d = jnp.concatenate([d, last], axis=-1)
+    return d * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+
+def _transmittance(alpha):
+    """T_i = prod_{j<i} (1 - alpha_j + 1e-10) along the last axis."""
+    ones = jnp.ones_like(alpha[..., :1])
+    return jnp.cumprod(
+        jnp.concatenate([ones, 1.0 - alpha + TRANS_EPS], axis=-1), axis=-1
+    )[..., :-1]
+
+
+def raw2outputs(
+    raw_alpha,
+    raw_rgb,
+    z_vals,
+    rays_d,
+    noise: Optional[jnp.ndarray] = None,
+    white_bkgd: bool = False,
+    far_dist: float = 1e10,
+):
+    """Single-field alpha compositing.
+
+    raw_alpha: [R, S], raw_rgb: [R, S, 3]. `noise` (same shape as raw_alpha)
+    implements the training-time density noise; pass None for eval.
+    Returns dict with rgb/disp/acc/weights/depth/dists/z_vals (reference
+    rendering__.py:307-379).
+    """
+    dists = _dists_from_z(z_vals, rays_d, far_dist)
+    rgb = jax.nn.sigmoid(raw_rgb)
+    if noise is not None:
+        raw_alpha = raw_alpha + noise
+
+    alpha = raw2alpha(raw_alpha, dists)
+    weights = alpha * _transmittance(alpha)
+
+    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+    weights_sum = jnp.sum(weights, axis=-1)
+    weights_sum = jnp.where(weights_sum >= 0, weights_sum, 1e-7)
+    disp_map = 1.0 / jnp.maximum(DISP_EPS, depth_map / weights_sum)
+    acc_map = jnp.sum(weights, axis=-1)
+
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+
+    return {
+        "rgb": rgb_map,
+        "disp": disp_map,
+        "acc": acc_map,
+        "weights": weights,
+        "depth": depth_map,
+        "dists": dists,
+        "z_vals": z_vals,
+    }
+
+
+def raw2outputs_star(
+    raw_alpha_static,
+    raw_rgb_static,
+    raw_alpha_dynamic,
+    raw_rgb_dynamic,
+    z_vals,
+    rays_d,
+    noise: Optional[jnp.ndarray] = None,
+    white_bkgd: bool = False,
+    far_dist: float = 1e10,
+    with_test_outputs: bool = False,
+):
+    """STaR multi-field compositing under a joint transmittance.
+
+    Shapes: raw_alpha_static [R, S]; raw_rgb_static [R, S, 3];
+    raw_alpha_dynamic [R, K, S]; raw_rgb_dynamic [R, K, S, 3].
+
+    alpha_total = 1 - exp(-(sigma_s + sum_k sigma_d^k) * dist) with
+    sigma = softplus(raw), the shared transmittance T = cumprod(1 -
+    alpha_total), and the color integrates T * (alpha_s * c_s + sum_k
+    alpha_d^k * c_d^k) — reference rendering__.py:383-576. Also emits the five
+    regularizer scalars and the per-vehicle final transmittance used for 2D
+    IoU.
+
+    Note: the reference sums *pre-activation* raw densities before the
+    softplus (rendering__.py:416-418); we sum post-softplus densities, the
+    physically consistent form (it makes an empty dynamic field reduce STaR
+    compositing exactly to single-field compositing, and gives
+    T == T_s * prod_k T_d^k up to the 1e-10 guard).
+    """
+    dists = _dists_from_z(z_vals, rays_d, far_dist)  # [R, S]
+
+    rgb_static = jax.nn.sigmoid(raw_rgb_static)
+    rgb_dynamic = jax.nn.sigmoid(raw_rgb_dynamic)
+
+    if noise is not None:
+        raw_alpha_static = raw_alpha_static + noise
+        raw_alpha_dynamic = raw_alpha_dynamic + noise[:, None, :]
+
+    sigma_s = jax.nn.softplus(raw_alpha_static)
+    sigma_d = jax.nn.softplus(raw_alpha_dynamic)
+    sigma_total = sigma_s + jnp.sum(sigma_d, axis=1)
+
+    alpha_static = raw2alpha(raw_alpha_static, dists)  # [R, S]
+    alpha_dynamic = raw2alpha(raw_alpha_dynamic, dists[:, None, :])  # [R, K, S]
+    alpha_total = 1.0 - jnp.exp(-sigma_total * dists)
+
+    T_s = _transmittance(alpha_static)  # [R, S]
+    T_d = _transmittance(alpha_dynamic)  # [R, K, S]
+    T = _transmittance(alpha_total)  # [R, S]
+
+    rgb_map = jnp.sum(
+        T[..., None]
+        * (
+            alpha_static[..., None] * rgb_static
+            + jnp.sum(alpha_dynamic[..., None] * rgb_dynamic, axis=1)
+        ),
+        axis=-2,
+    )
+
+    # Per-component maps (visualization / masked metrics)
+    rgb_map_static = jnp.sum(T_s[..., None] * alpha_static[..., None] * rgb_static, axis=-2)
+    rgb_map_dynamic = jnp.sum(
+        T_d[..., None] * alpha_dynamic[..., None] * rgb_dynamic, axis=-2
+    )  # [R, K, 3]
+    dynamic_weights = T_d * alpha_dynamic
+    depth_dynamic = jnp.sum(dynamic_weights * z_vals[:, None, :], axis=-1)  # [R, K]
+    static_weights = T_s * alpha_static
+    depth_static = jnp.sum(static_weights * z_vals, axis=-1)
+
+    weights = T * alpha_total
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+    weights_sum = jnp.sum(weights, axis=-1)
+    weights_sum = jnp.where(weights_sum >= 0, weights_sum, EPS)
+    disp_map = 1.0 / jnp.maximum(DISP_EPS, depth_map / weights_sum)
+    acc_map = jnp.sum(weights, axis=-1)
+
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+
+    result = {
+        "rgb": rgb_map,
+        "disp": disp_map,
+        "acc": acc_map,
+        "weights": weights,
+        "depth": depth_map,
+        "dists": dists,
+        "z_vals": z_vals,
+        "rgb_static": rgb_map_static,
+        "rgb_dynamic": rgb_map_dynamic,
+        "depth_static": depth_static,
+        "depth_dynamic": depth_dynamic,
+        "dynamic_transmittance": T_d[:, :, -1],
+        "loss_alpha_entropy": alpha_entropy(alpha_static, alpha_dynamic),
+        "loss_dynamic_vs_static_reg": dynamic_vs_static_reg(alpha_static, alpha_dynamic),
+        "loss_ray_reg": ray_reg(sigma_d, sigma_total),
+        "loss_static_reg": static_reg(sigma_s, alpha_static),
+        "loss_dynamic_reg": dynamic_reg(sigma_d),
+    }
+
+    if with_test_outputs:
+        # Dynamic-only render through the all-vehicles transmittance
+        # (reference rendering__.py:534-556, used for dynamic-masked metrics).
+        alpha_dynamic_all = 1.0 - jnp.exp(-jnp.sum(sigma_d, axis=1) * dists)
+        T_d_all = _transmittance(alpha_dynamic_all)
+        result["rgb_dynamic_all"] = jnp.sum(
+            T_d_all[..., None] * jnp.sum(alpha_dynamic[..., None] * rgb_dynamic, axis=1),
+            axis=-2,
+        )
+
+    return result

@@ -1,0 +1,68 @@
+"""Training losses: photometric MSE, DS-NeRF depth and sigma losses.
+
+Counterparts of the reference models/rendering__.py:18-23 (img2mse/mse2psnr)
+and models/loss.py (depth/sigma supervision). Masked reductions use static
+shapes (where + sum/count), the jit-safe TPU idiom for the reference's boolean
+indexing.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..constants import EPS
+
+
+def img2mse(pred, target):
+    return jnp.mean((pred - target) ** 2)
+
+
+def mse2psnr(mse):
+    return -10.0 * jnp.log(mse) / jnp.log(10.0)
+
+
+def to8b(img):
+    """[0,1] float image -> uint8 (host-side helper)."""
+    import numpy as np
+
+    return (255 * np.clip(np.nan_to_num(np.asarray(img)), 0, 1)).astype(np.uint8)
+
+
+def _masked_mean(values, mask):
+    count = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(values * mask) / count
+
+
+def depth_loss(depth, gt_depth, near: float, far: float):
+    """Relative-squared depth error on rays whose GT depth is inside the
+    [near, far] volume (reference models/loss.py:4-9)."""
+    mask = jnp.logical_and(gt_depth < far, gt_depth > near).astype(depth.dtype)
+    err = ((depth - gt_depth) / jnp.where(gt_depth == 0, 1.0, gt_depth)) ** 2
+    return _masked_mean(err, mask)
+
+
+def sigma_loss(weights, z_vals, dists, gt_depth, near: float, far: float, err: float = 1.0):
+    """DS-NeRF ray-distribution loss: -log(w) * exp(-(z-d)^2 / 2err) * dist,
+    summed over samples, averaged over in-volume rays
+    (reference models/loss.py:12-66)."""
+    w = jnp.where(weights <= 0, EPS, weights)
+    mask = jnp.logical_and(gt_depth < far, gt_depth > near).astype(weights.dtype)
+    per_sample = (
+        -jnp.log(w)
+        * jnp.exp(-((z_vals - gt_depth[:, None]) ** 2) / (2.0 * err))
+        * dists
+    )
+    per_ray = jnp.sum(per_sample, axis=1)
+    return _masked_mean(per_ray, mask)
+
+
+def sigma_loss_per_ray(weights, z_vals, dists, gt_depth, err: float = 1.0):
+    """Unmasked per-ray sigma loss (used by the gradient-isolation check,
+    reference models/loss.py:70-85)."""
+    w = jnp.where(weights <= 0, EPS, weights)
+    per_sample = (
+        -jnp.log(w)
+        * jnp.exp(-((z_vals - gt_depth[:, None]) ** 2) / (2.0 * err))
+        * dists
+    )
+    return jnp.sum(per_sample, axis=1)

@@ -1,0 +1,99 @@
+"""Ray sampling: stratified coarse samples and inverse-CDF importance samples.
+
+Counterpart of the reference sample_pts / sample_pdf
+(models/rendering__.py:75-112, 719-761), designed for TPU/XLA:
+
+- all shapes are static; randomness comes from explicit jax.random keys,
+- the inverse-CDF search is a dense comparison matrix (VPU-friendly) instead
+  of searchsorted, avoiding data-dependent gather patterns,
+- the coarse/fine z-union is a fixed-size sort.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import PDF_EPS
+
+
+def stratified_z_vals(
+    key,
+    n_rays: int,
+    near: float,
+    far: float,
+    n_samples: int,
+    lindisp: bool = False,
+    perturb: float = 1.0,
+    dtype=jnp.float32,
+):
+    """[n_rays, n_samples] depths, linear in depth (or disparity), with
+    per-interval jitter when perturb > 0 (training). Pass key=None or
+    perturb=0 for deterministic midpointless linspace (eval)."""
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=dtype)
+    if not lindisp:
+        z = near * (1.0 - t) + far * t
+    else:
+        z = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
+    z = jnp.broadcast_to(z, (n_rays, n_samples))
+
+    if key is not None and perturb > 0.0:
+        mids = 0.5 * (z[..., 1:] + z[..., :-1])
+        upper = jnp.concatenate([mids, z[..., -1:]], -1)
+        lower = jnp.concatenate([z[..., :1], mids], -1)
+        u = jax.random.uniform(key, z.shape, dtype=dtype)
+        z = lower + (upper - lower) * u
+    return z
+
+
+def pts_from_z(rays_o, rays_d, z_vals):
+    """o + d*z -> [n_rays, n_samples, 3]."""
+    return rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+
+
+def sample_pdf(key, bins, weights, n_samples: int, det: bool = False):
+    """Inverse-CDF sampling of n_samples depths from a per-ray histogram.
+
+    bins: [R, B+1] bin edges (z midpoints), weights: [R, B] coarse weights.
+    det=True uses evenly spaced u (eval); otherwise uniform randoms.
+    Matches reference sample_pdf (rendering__.py:719-761) numerically.
+    """
+    weights = weights + PDF_EPS
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # [R, B+1]
+
+    if det or key is None:
+        u = jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,), dtype=cdf.dtype)
+
+    # searchsorted(cdf, u, right): number of cdf entries <= u. Dense comparison
+    # is O(B * n_samples) vectorized ops — cheap on the VPU and avoids
+    # data-dependent control flow.
+    inds = jnp.sum((u[..., None, :] >= cdf[..., :, None]).astype(jnp.int32), axis=-2)
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
+    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def hierarchical_z_vals(key, z_vals, weights, n_importance: int, det: bool):
+    """Coarse weights -> sorted union of coarse z and importance samples.
+
+    Returns (z_union [R, S+I], z_samples [R, I]); z_samples is already
+    stop-gradiented (the reference detaches, rendering__.py:135)."""
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_samples = sample_pdf(key, z_mid, weights[..., 1:-1], n_importance, det=det)
+    z_samples = jax.lax.stop_gradient(z_samples)
+    z_union = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+    return z_union, z_samples

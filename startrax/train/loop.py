@@ -1,0 +1,197 @@
+"""Jitted training steps for appearance init and online tracking.
+
+Counterpart of the reference Lightning modules' training_step
+(train_app_init__.py:70-115, train_online__.py:155-326), re-shaped for TPU:
+
+- one fused jit graph per step: sample -> render (coarse+fine, all fields)
+  -> losses -> grads -> optimizer update; no chunk loops, no host sync,
+- the frame index is a traced scalar (the pose table is gathered inside the
+  graph), so the curriculum never retriggers compilation,
+- randomness is explicit (jax.random keys split per step),
+- ray-axis data parallelism comes from sharding the batch (parallel/mesh.py);
+  gradients reduce over ICI automatically under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.star import StarConfig, render_star, init_star
+from ..ops import lie
+from ..ops.losses import img2mse, mse2psnr, depth_loss as depth_loss_fn
+from ..ops.losses import sigma_loss as sigma_loss_fn
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """Regularizer weights + depth supervision (reference utils/io.py flags)."""
+
+    lambda_alpha_entropy: float = 0.0
+    lambda_dynamic_vs_static_reg: float = 0.0
+    lambda_ray_reg: float = 0.0
+    lambda_static_reg: float = 0.0
+    lambda_dynamic_reg: float = 0.0
+    epoch_start_dynamic_reg: int = 0
+    use_depth_loss: bool = False
+    depth_lambda: float = 0.0
+    use_sigma_loss: bool = False
+    sigma_lambda: float = 0.0
+
+
+def _coarse_fine_avg(result, name, has_fine):
+    v = result[f"{name}0"]
+    if has_fine:
+        v = (v + result[name]) / 2.0
+    return v
+
+
+def compute_losses(
+    result: Dict[str, Any],
+    batch: Dict[str, Any],
+    star_cfg: StarConfig,
+    loss_cfg: LossConfig,
+    epoch=None,
+    online: bool = True,
+):
+    """Total loss + logged metrics (reference train_online__.py:155-326)."""
+    has_fine = star_cfg.n_importance > 0
+    target = batch["target"]
+
+    img_loss0 = img2mse(result["rgb0"], target)
+    loss = img_loss0
+    metrics = {"loss0": img_loss0, "psnr0": mse2psnr(img_loss0)}
+
+    if has_fine:
+        img_loss = img2mse(result["rgb"], target)
+        loss = loss + img_loss
+        metrics["fine_loss"] = img_loss
+        metrics["psnr"] = mse2psnr(img_loss)
+    else:
+        metrics["fine_loss"] = img_loss0
+
+    if online:
+        reg_terms = {
+            "alpha_entropy": loss_cfg.lambda_alpha_entropy,
+            "dynamic_vs_static_reg": loss_cfg.lambda_dynamic_vs_static_reg,
+            "ray_reg": loss_cfg.lambda_ray_reg,
+            "static_reg": loss_cfg.lambda_static_reg,
+        }
+        for name, lam in reg_terms.items():
+            if lam > 0:
+                v = _coarse_fine_avg(result, f"loss_{name}", has_fine)
+                loss = loss + lam * v
+                metrics[name] = v
+        if loss_cfg.lambda_dynamic_reg > 0:
+            v = _coarse_fine_avg(result, "loss_dynamic_reg", has_fine)
+            gate = (
+                (epoch >= loss_cfg.epoch_start_dynamic_reg).astype(v.dtype)
+                if epoch is not None
+                else 1.0
+            )
+            loss = loss + loss_cfg.lambda_dynamic_reg * gate * v
+            metrics["dynamic_reg"] = v
+
+    if loss_cfg.use_depth_loss:
+        dl = depth_loss_fn(result["depth"], batch["target_depth"], star_cfg.near, star_cfg.far)
+        loss = loss + loss_cfg.depth_lambda * dl
+        metrics["depth_loss"] = dl
+    if loss_cfg.use_sigma_loss:
+        sl = sigma_loss_fn(
+            result["weights"], result["z_vals"], result["dists"],
+            batch["target_depth"], star_cfg.near, star_cfg.far,
+        )
+        loss = loss + loss_cfg.sigma_lambda * sl
+        metrics["sigma_loss"] = sl
+
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def gather_frame_pose(poses, frame, num_vehicles: int):
+    """Pose for a traced frame index; frame 0 is pinned to identity
+    (reference train_online__.py:125-135).
+
+    poses: [num_frames-1, K, 7] learnable; returns [K, 7]."""
+    pose0 = lie.se3_identity(1, num_vehicles, dtype=poses.dtype)
+    all_poses = jnp.concatenate([pose0, poses], axis=0)
+    return jnp.take(all_poses, frame, axis=0)
+
+
+def init_online_params(key, star_cfg: StarConfig, num_frames: int, init_poses=None):
+    """{"nerf": field params, "poses": [F-1, K, 7]}; poses start at identity
+    unless init_poses (e.g. noisy GT) is given."""
+    nerf = init_star(key, star_cfg)
+    if init_poses is None:
+        poses = lie.se3_identity(num_frames - 1, star_cfg.num_vehicles)
+    else:
+        poses = jnp.asarray(init_poses)
+    return {"nerf": nerf, "poses": poses}
+
+
+def make_online_train_step(star_cfg: StarConfig, loss_cfg: LossConfig, tx):
+    """Returns jittable (params, opt_state, batch, key, epoch) -> updated."""
+
+    def loss_fn(params, batch, key, epoch):
+        pose = gather_frame_pose(params["poses"], batch["frame"], star_cfg.num_vehicles)
+        result = render_star(
+            params["nerf"], star_cfg, batch["rays_o"], batch["rays_d"],
+            key=key, pose=pose, train=True, step=epoch,
+        )
+        return compute_losses(result, batch, star_cfg, loss_cfg, epoch=epoch, online=True)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key, epoch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, key, epoch
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # keep quaternions normalized after each update (the reference relies
+        # on pypose's manifold ops; plain Adam drifts off the unit sphere)
+        q = params["poses"][..., 3:7]
+        params["poses"] = params["poses"].at[..., 3:7].set(lie.quat_normalize(q))
+        return params, opt_state, loss, metrics
+
+    return train_step
+
+
+def make_appinit_train_step(star_cfg: StarConfig, loss_cfg: LossConfig, tx):
+    """Appearance-init step: static field only, MSE (+depth/sigma) loss
+    (reference train_app_init__.py:70-115)."""
+
+    def loss_fn(params, batch, key):
+        result = render_star(
+            params, star_cfg, batch["rays_o"], batch["rays_d"],
+            key=key, pose=None, train=True,
+        )
+        return compute_losses(result, batch, star_cfg, loss_cfg, online=False)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, key
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, metrics
+
+    return train_step
+
+
+def make_eval_render(star_cfg: StarConfig, with_test_outputs: bool = False):
+    """Deterministic (eval-mode) renderer over a ray batch, jitted."""
+
+    @partial(jax.jit, static_argnames=())
+    def eval_render(params, rays_o, rays_d, pose):
+        return render_star(
+            params, star_cfg, rays_o, rays_d, key=None, pose=pose, train=False,
+            with_test_outputs=with_test_outputs,
+        )
+
+    return eval_render
