@@ -1,0 +1,94 @@
+"""Benchmark: STaR online-tracking training throughput on one TPU chip.
+
+Workload = the reference's flagship online multi-vehicle step
+(configs/carla_star_online_multi.txt): 1000 rays x (256 coarse + 256 fine)
+samples x (1 static 8x256 + 2 dynamic 4x256 fields), full forward + backward
++ optimizer update, photometric + regularizer losses, learnable SE(3) poses.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
+measured rays/sec divided by an estimated 1500 rays/sec for the PyTorch
+reference on one A100 (fp32, chunked eval; estimate documented in
+BENCH_NOTES.md). The driver's north star is >= 5x.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC_A100_EST = 1500.0
+
+N_RAND = 1000
+NUM_FRAMES = 16
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from startrax.models.star import StarConfig
+    from startrax.train import loop, optim
+
+    cfg = StarConfig(
+        num_vehicles=2, netdepth=8, netdepth_fine=8, netwidth=256,
+        netwidth_fine=256, n_samples=256, n_importance=256,
+        near=3.0, far=80.0, compute_dtype=jnp.bfloat16,
+    )
+
+    params = loop.init_online_params(jax.random.PRNGKey(0), cfg, NUM_FRAMES)
+    tx = optim.make_star_optimizer(
+        params, lrate_static=5e-4, lrate_dynamic=5e-4, lrate_pose=5e-4,
+        steps_per_epoch=100, decay_milestones=[60], grad_clip=1.0,
+    )
+    opt_state = tx.init(params)
+    loss_cfg = loop.LossConfig(
+        lambda_alpha_entropy=1e-3, lambda_dynamic_vs_static_reg=1e-3,
+        lambda_ray_reg=1e-5,
+    )
+    train_step = loop.make_online_train_step(cfg, loss_cfg, tx)
+
+    rng = np.random.default_rng(0)
+    rays_o = rng.normal(size=(N_RAND, 3)).astype(np.float32)
+    rays_d = rng.normal(size=(N_RAND, 3)).astype(np.float32)
+    rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    batch = {
+        "rays_o": jnp.asarray(rays_o),
+        "rays_d": jnp.asarray(rays_d),
+        "target": jnp.asarray(rng.uniform(size=(N_RAND, 3)).astype(np.float32)),
+        "frame": jnp.asarray(3, jnp.int32),
+    }
+    key = jax.random.PRNGKey(1)
+    epoch = jnp.asarray(0)
+
+    # warmup / compile. NOTE: timing is closed by fetching the loss scalar to
+    # host — on tunneled TPU backends block_until_ready can return before the
+    # device work drains, silently inflating throughput.
+    params, opt_state, lossv, _ = train_step(params, opt_state, batch, key, epoch)
+    float(lossv)
+
+    # timed steps: chain on device, one host fetch at the end
+    n_steps = 50
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, lossv, _ = train_step(params, opt_state, batch, sub, epoch)
+    float(lossv)
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = N_RAND * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "online_train_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/sec",
+                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC_A100_EST, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

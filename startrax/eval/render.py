@@ -1,0 +1,75 @@
+"""Tiled full-frame rendering for validation/test.
+
+Counterpart of the reference's chunked eval forward (chunk=8192 rays,
+train_online__.py:488-652) — but the tile size here is a *throughput* choice,
+not a memory workaround: each tile is one jitted call with static shapes, and
+with a device mesh the tile's ray axis is sharded so a full frame renders
+across all chips (the reference is strictly single-GPU).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.star import StarConfig, render_star
+from ..parallel import mesh as meshlib
+
+
+def render_image(
+    params,
+    cfg: StarConfig,
+    rays_o,
+    rays_d,
+    pose=None,
+    tile: int = 8192,
+    mesh=None,
+    with_test_outputs: bool = False,
+    keys=("rgb", "depth", "rgb0", "depth0", "rgb_static", "rgb_dynamic",
+          "depth_static", "depth_dynamic", "dynamic_transmittance",
+          "rgb_dynamic_all", "acc", "disp"),
+) -> Dict[str, np.ndarray]:
+    """Render H*W rays in fixed-size tiles; returns host arrays [H, W, ...].
+
+    rays_o/rays_d: [H, W, 3]. Missing keys (e.g. dynamic maps in appearance
+    init) are skipped.
+    """
+    H, W = rays_o.shape[:2]
+    n = H * W
+    ro = np.asarray(rays_o).reshape(n, 3)
+    rd = np.asarray(rays_d).reshape(n, 3)
+
+    n_pad = ((n + tile - 1) // tile) * tile
+    if n_pad != n:
+        pad = n_pad - n
+        ro = np.concatenate([ro, np.repeat(ro[-1:], pad, 0)], axis=0)
+        rd = np.concatenate([rd, np.repeat(rd[-1:], pad, 0)], axis=0)
+
+    @jax.jit
+    def tile_render(params, o, d, pose):
+        return render_star(
+            params, cfg, o, d, key=None, pose=pose, train=False,
+            with_test_outputs=with_test_outputs,
+        )
+
+    chunks: Dict[str, list] = {}
+    for i in range(0, n_pad, tile):
+        o = jnp.asarray(ro[i : i + tile])
+        d = jnp.asarray(rd[i : i + tile])
+        if mesh is not None:
+            sh = meshlib.batch_sharding(mesh)
+            o = jax.device_put(o, sh)
+            d = jax.device_put(d, sh)
+        out = tile_render(params, o, d, pose)
+        for k in keys:
+            if k in out and out[k] is not None:
+                chunks.setdefault(k, []).append(np.asarray(out[k]))
+
+    result = {}
+    for k, parts in chunks.items():
+        arr = np.concatenate(parts, axis=0)[:n]
+        result[k] = arr.reshape((H, W) + arr.shape[1:])
+    return result

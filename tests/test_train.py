@@ -1,0 +1,205 @@
+"""Tests for optimizers, curriculum, checkpointing, and the train steps."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from startrax.models.star import StarConfig, init_star
+from startrax.ops import lie
+from startrax.train import loop, optim
+from startrax.train.curriculum import CurriculumConfig, CurriculumState, advance
+from startrax.train import checkpoint as ckpt
+
+CFG = StarConfig(
+    num_vehicles=1, netdepth=4, netdepth_fine=4, netwidth=32, netwidth_fine=32,
+    n_samples=16, n_importance=16, near=2.0, far=6.0, compute_dtype=jnp.float32,
+)
+
+
+def _batch(n=32, seed=0, with_frame=True):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    b = {
+        "rays_o": jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        "rays_d": jnp.asarray(d),
+        "target": jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32)),
+    }
+    if with_frame:
+        b["frame"] = jnp.asarray(2, jnp.int32)
+    return b
+
+
+# ----------------------------- schedules ----------------------------------
+
+
+def test_multistep_schedule():
+    s = optim.make_schedule(1e-3, decay_rate=0.5, decay_milestones=[10, 20], steps_per_epoch=2)
+    assert float(s(0)) == pytest.approx(1e-3)
+    assert float(s(20)) == pytest.approx(5e-4)  # epoch 10
+    assert float(s(40)) == pytest.approx(2.5e-4)  # epoch 20
+
+
+def test_step_schedule():
+    s = optim.make_schedule(1e-3, decay_rate=0.5, decay_epochs=10, steps_per_epoch=1)
+    assert float(s(9)) == pytest.approx(1e-3)
+    assert float(s(10)) == pytest.approx(5e-4)
+    assert float(s(25)) == pytest.approx(2.5e-4)
+
+
+def test_star_optimizer_groups_step_atomically():
+    params = loop.init_online_params(jax.random.PRNGKey(0), CFG, num_frames=4)
+    tx = optim.make_star_optimizer(
+        params, lrate_static=1e-3, lrate_dynamic=1e-3, lrate_pose=1e-2, grad_clip=None
+    )
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # both the nerf and the pose subtrees received updates in one step
+    assert float(jnp.abs(updates["poses"]).max()) > 0
+    assert float(jnp.abs(updates["nerf"]["static_coarse"]["lin_in"]["w"]).max()) > 0
+
+
+def test_grad_accumulation():
+    params = {"nerf": {"static_coarse": {"w": jnp.zeros(3)}}, "poses": jnp.zeros((1, 1, 7))}
+    tx = optim.make_star_optimizer(
+        params, lrate_static=1e-2, lrate_dynamic=1e-2, lrate_pose=1e-2,
+        grad_clip=None, accumulate_steps=3,
+    )
+    state = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    p = params
+    for i in range(2):  # first 2 of 3 accumulation steps: no param change
+        updates, state = tx.update(g, state, p)
+        p = optax.apply_updates(p, updates)
+        assert float(jnp.abs(p["poses"]).max()) == 0.0
+    updates, state = tx.update(g, state, p)
+    p = optax.apply_updates(p, updates)
+    assert float(jnp.abs(p["poses"]).max()) > 0.0
+
+
+# ----------------------------- curriculum ---------------------------------
+
+
+def test_curriculum_initial_advance_and_tighten():
+    cfg = CurriculumConfig(num_frames=8, initial_num_frames=5, online_thres=1e-3)
+    s = CurriculumState.initial(cfg)
+    assert s.current_frame == 5
+    s = advance(s, cfg, 2e-3)  # above threshold: no advance
+    assert s.current_frame == 5
+    s = advance(s, cfg, 9e-4)  # advances, threshold tightens
+    assert s.current_frame == 6 and s.threshold == pytest.approx(95e-5)
+
+
+def test_curriculum_waits_70_epochs():
+    cfg = CurriculumConfig(num_frames=8, initial_num_frames=5)
+    s = CurriculumState.initial(cfg)
+    s = advance(s, cfg, 1e-4)  # 5 -> 6
+    for _ in range(70):  # loss always good, but must wait out the counter
+        s = advance(s, cfg, 1e-6)
+        assert s.current_frame == 6
+    s = advance(s, cfg, 1e-6)  # epoch 71 since advance: goes
+    assert s.current_frame == 7
+
+
+def test_curriculum_stops_at_num_frames():
+    cfg = CurriculumConfig(num_frames=6, initial_num_frames=5, min_epochs_between=0)
+    s = CurriculumState.initial(cfg)
+    s = advance(s, cfg, 1e-6)  # -> 6
+    s = advance(s, cfg, 1e-6)  # -> 7 > num_frames: done
+    assert s.done
+
+
+# ----------------------------- train steps --------------------------------
+
+
+def test_appinit_step_reduces_loss():
+    params = init_star(jax.random.PRNGKey(0), CFG)
+    tx = optim.make_appinit_optimizer(5e-3)
+    opt_state = tx.init(params)
+    step = loop.make_appinit_train_step(CFG, loop.LossConfig(), tx)
+    batch = _batch(64, with_frame=False)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        params, opt_state, lossv, _ = step(params, opt_state, batch, sub)
+        losses.append(float(lossv))
+    assert losses[-1] < losses[0]
+
+
+def test_online_step_updates_poses_and_normalizes_quats():
+    params = loop.init_online_params(jax.random.PRNGKey(2), CFG, num_frames=4)
+    tx = optim.make_star_optimizer(
+        params, lrate_static=1e-3, lrate_dynamic=1e-3, lrate_pose=1e-2
+    )
+    opt_state = tx.init(params)
+    step = loop.make_online_train_step(
+        CFG, loop.LossConfig(lambda_alpha_entropy=1e-3, lambda_ray_reg=1e-5), tx
+    )
+    batch = _batch(64, seed=1)
+    p0 = np.asarray(params["poses"])
+    params, opt_state, lossv, metrics = step(
+        params, opt_state, batch, jax.random.PRNGKey(3), jnp.asarray(0)
+    )
+    p1 = np.asarray(params["poses"])
+    # frame-2 pose moved (it was rendered), quaternions stay unit
+    assert np.abs(p1 - p0).max() > 0
+    np.testing.assert_allclose(np.linalg.norm(p1[..., 3:7], axis=-1), 1.0, atol=1e-5)
+    assert np.isfinite(float(lossv))
+    assert "fine_loss" in metrics
+
+
+def test_gather_frame_pose_pins_frame0_identity():
+    poses = jnp.asarray(np.random.default_rng(4).normal(size=(3, 2, 7)).astype(np.float32))
+    p0 = loop.gather_frame_pose(poses, jnp.asarray(0), 2)
+    np.testing.assert_allclose(np.asarray(p0), np.asarray(lie.se3_identity(2)), atol=1e-6)
+    p2 = loop.gather_frame_pose(poses, jnp.asarray(2), 2)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(poses[1]), atol=1e-6)
+
+
+# ----------------------------- checkpoint ---------------------------------
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = loop.init_online_params(jax.random.PRNGKey(5), CFG, num_frames=3)
+    state = {"params": params, "step": jnp.asarray(7)}
+    ckpt.save_checkpoint(str(tmp_path / "ck"), state, step=7)
+    template = jax.tree.map(np.zeros_like, state)
+    restored = ckpt.restore_checkpoint(str(tmp_path / "ck"), template)
+    got = jax.tree.leaves(restored["params"])
+    want = jax.tree.leaves(params)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=0)
+
+
+def test_restore_static_only():
+    app = init_star(jax.random.PRNGKey(6), CFG)
+    online = loop.init_online_params(jax.random.PRNGKey(7), CFG, num_frames=3)
+    before_dyn = np.asarray(jax.tree.leaves(online["nerf"]["dynamic_coarse"])[0])
+    merged = ckpt.restore_static_only(app, online)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(merged["nerf"]["static_coarse"])[0]),
+        np.asarray(jax.tree.leaves(app["static_coarse"])[0]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(merged["nerf"]["dynamic_coarse"])[0]), before_dyn
+    )
+    np.testing.assert_array_equal(np.asarray(merged["poses"]), np.asarray(online["poses"]))
+
+
+def test_poses_txt_roundtrip(tmp_path):
+    rng = np.random.default_rng(8)
+    mats = np.tile(np.eye(4, dtype=np.float64), (5, 1, 1))
+    mats[:, :3, 3] = rng.normal(size=(5, 3))
+    p = tmp_path / "poses.txt"
+    ckpt.save_poses_txt(str(p), mats)
+    back = ckpt.load_poses_txt(str(p))
+    np.testing.assert_allclose(back, mats, atol=1e-5)
+    # file stores translations x100 (reference utils/io.py:497-519)
+    raw = np.loadtxt(p).reshape(-1, 4, 4)
+    np.testing.assert_allclose(raw[:, :3, 3], mats[:, :3, 3] * 100, atol=1e-4)
