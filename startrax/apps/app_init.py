@@ -1,0 +1,101 @@
+"""Appearance initialization: fit the static field on frame-0 multi-view
+images, with early stopping on the fine photometric loss.
+
+Counterpart of the reference train_app_init__.py: 1000-step pseudo-epochs of
+N_rand random rays, Adam + Step/MultiStepLR, EarlyStopping when the epoch's
+fine MSE <= appearance_init_thres (m1 = 9e-4), val render + checkpoint every
+epoch_val epochs.
+
+Usage: python -m startrax.apps.app_init --config startrax/configs/carla_star_app_init.txt
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..eval.image import psnr as psnr_fn, ssim as ssim_fn
+from ..eval.render import render_image
+from ..models.star import init_star
+from ..train import checkpoint as ckpt
+from ..train import loop, optim
+from ..utils.config import Config, load_config, star_config_from, loss_config_from
+from .common import Workspace, make_dataset, host_prng
+
+
+
+
+def train(cfg: Config):
+    ws = Workspace(cfg, "app_init")
+    star_cfg = star_config_from(cfg)
+    loss_cfg = loss_config_from(cfg)
+
+    train_data = make_dataset(cfg, "train")
+    val_data = make_dataset(cfg, "val")
+
+    rng, key = host_prng(42)
+    params = init_star(key, star_cfg)
+
+    tx = optim.make_appinit_optimizer(
+        cfg.lrate,
+        steps_per_epoch=cfg.steps_per_epoch,
+        decay_rate=cfg.lrate_decay_rate,
+        decay_epochs=cfg.lrate_decay,
+        decay_milestones=cfg.lrate_decay_steps,
+        accumulate_steps=cfg.accumulate_grad_batches,
+    )
+    opt_state = tx.init(params)
+    step_fn = loop.make_appinit_train_step(star_cfg, loss_cfg, tx)
+
+    step = 0
+    for epoch in range(cfg.epochs_appearance):
+        fine_losses = []
+        for _ in range(cfg.steps_per_epoch):
+            if cfg.dataset_type == "blender":
+                batch = train_data.sample_batch(rng, cfg.N_rand)
+            else:
+                batch = train_data.sample_batch(rng, cfg.N_rand, frame=0)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            key, sub = jax.random.split(key)
+            params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
+            step += 1
+            fine_losses.append(metrics["fine_loss"])  # device scalar, no sync
+        avg_fine = float(np.mean([float(x) for x in fine_losses]))
+        ws.metrics.log({"train/fine_loss": avg_fine, "epoch": epoch}, step)
+        ws.log(f"epoch {epoch}: fine_loss={avg_fine:.6f}")
+
+        if (epoch + 1) % cfg.epoch_val == 0:
+            _validate(ws, params, star_cfg, val_data, rng, step)
+            ckpt.save_checkpoint(ws.ckpt_dir, {"params": params}, step=epoch)
+
+        # EarlyStopping on train/fine_loss (train_app_init__.py:242-246)
+        if avg_fine <= cfg.appearance_init_thres:
+            ws.log(f"appearance threshold {cfg.appearance_init_thres} reached; stopping")
+            break
+
+    ckpt.save_checkpoint(ws.ckpt_dir, {"params": params}, step=cfg.epochs_appearance)
+    return params
+
+
+def _validate(ws: Workspace, params, star_cfg, val_data, rng, step):
+    n_views = val_data.rays_o.shape[0] if hasattr(val_data, "rays_o") else 1
+    view = int(rng.integers(0, max(n_views, 1)))
+    rays_o, rays_d = val_data.view_rays(view)
+    target = val_data.images[view] if val_data.images.ndim == 4 else val_data.images[view, 0]
+    out = render_image(params, star_cfg, rays_o, rays_d, pose=None)
+    p = float(psnr_fn(jnp.asarray(out["rgb"]), jnp.asarray(target)))
+    s = float(ssim_fn(jnp.asarray(out["rgb"]), jnp.asarray(target)))
+    ws.metrics.log({"val/psnr": p, "val/ssim": s}, step)
+    ws.metrics.log_image("val/rgb", out["rgb"], step)
+    ws.metrics.log_image("val/target", np.asarray(target), step)
+    ws.log(f"val view {view}: psnr={p:.2f} ssim={s:.4f}")
+
+
+def main(argv=None):
+    cfg = load_config(argv)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -225,6 +225,42 @@ class SyntheticScene:
         }
 
 
+class SyntheticAdapter:
+    """Dataset-style facade over SyntheticScene matching CarlaScene's
+    sampling API (used by the apps and tests)."""
+
+    def __init__(self, scene: SyntheticScene, num_views: int = 6):
+        self.scene = scene
+        self.data = scene.make_dataset(num_views=num_views)
+        self.images = self.data["images"]
+        self.rays_o = self.data["rays_o"]
+        self.rays_d = self.data["rays_d"]
+        self.near, self.far = scene.near, scene.far
+        self.H, self.W = scene.H, scene.W
+
+    def sample_batch(self, rng, n_rand, start_frame=0, current_frame=1, frame=None, **_):
+        if frame is None:
+            frame = int(rng.integers(start_frame, current_frame))
+        return sample_ray_batch(rng, self.data, n_rand, frame)
+
+    def view_rays(self, view: int):
+        return self.rays_o[view], self.rays_d[view]
+
+    def gt_relative_poses(self):
+        # [K, F, 7] to match CarlaScene's convention
+        return np.swapaxes(self.data["gt_relative_poses"], 0, 1)
+
+    def noisy_gt_relative_poses(self, rng):
+        from ..ops import lie
+        import jax.numpy as jnp
+
+        gt = self.gt_relative_poses()  # [K, F, 7]
+        tau = rng.normal(size=gt.shape[:-1] + (6,)).astype(np.float32) * 0.05
+        tau[:, 0] = 0.0
+        noisy = lie.se3_multiply(jnp.asarray(gt), lie.se3_exp(jnp.asarray(tau)))
+        return np.asarray(noisy)
+
+
 def sample_ray_batch(rng, data, n_rand: int, frame: int):
     """Random ray minibatch from one frame across all views (the reference's
     pseudo-epoch sampling, datasets/carla_star_app_init.py)."""

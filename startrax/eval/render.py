@@ -15,8 +15,24 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import lru_cache
+
 from ..models.star import StarConfig, render_star
 from ..parallel import mesh as meshlib
+
+
+@lru_cache(maxsize=32)
+def _tile_renderer(cfg: StarConfig, with_test_outputs: bool, has_pose: bool):
+    """Jitted tile renderer cached per (config, mode) — defining the jit
+    inside render_image would retrace and recompile on every call."""
+
+    def tile_render(params, o, d, pose):
+        return render_star(
+            params, cfg, o, d, key=None, pose=pose, train=False,
+            with_test_outputs=with_test_outputs,
+        )
+
+    return jax.jit(tile_render)
 
 
 def render_image(
@@ -48,12 +64,7 @@ def render_image(
         ro = np.concatenate([ro, np.repeat(ro[-1:], pad, 0)], axis=0)
         rd = np.concatenate([rd, np.repeat(rd[-1:], pad, 0)], axis=0)
 
-    @jax.jit
-    def tile_render(params, o, d, pose):
-        return render_star(
-            params, cfg, o, d, key=None, pose=pose, train=False,
-            with_test_outputs=with_test_outputs,
-        )
+    tile_render = _tile_renderer(cfg, with_test_outputs, pose is not None)
 
     chunks: Dict[str, list] = {}
     for i in range(0, n_pad, tile):
@@ -64,9 +75,13 @@ def render_image(
             o = jax.device_put(o, sh)
             d = jax.device_put(d, sh)
         out = tile_render(params, o, d, pose)
-        for k in keys:
-            if k in out and out[k] is not None:
-                chunks.setdefault(k, []).append(np.asarray(out[k]))
+        # one batched device->host transfer per tile (per-key fetches each pay
+        # the full relay round trip on tunneled backends)
+        host_out = jax.device_get(
+            {k: out[k] for k in keys if k in out and out[k] is not None}
+        )
+        for k, v in host_out.items():
+            chunks.setdefault(k, []).append(v)
 
     result = {}
     for k, parts in chunks.items():

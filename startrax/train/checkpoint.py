@@ -37,15 +37,31 @@ def save_checkpoint(path: str, state: Dict[str, Any], step: int) -> str:
     return os.path.join(path, str(step))
 
 
-def restore_checkpoint(path: str, template: Dict[str, Any], step: Optional[int] = None):
-    """Restore a pytree saved by save_checkpoint; latest step if None."""
+def restore_checkpoint(path: str, template: Optional[Dict[str, Any]] = None, step: Optional[int] = None):
+    """Restore a pytree saved by save_checkpoint; latest step if None.
+
+    Uses PyTreeRestore with per-leaf RestoreArgs rather than StandardRestore:
+    on tunneled TPU backends StandardRestore enqueues one host->device
+    transfer per leaf, each paying the relay round-trip (~0.3s x hundreds of
+    optimizer-state leaves = minutes). The template is optional — the saved
+    tree structure comes from checkpoint metadata.
+    """
+    import warnings
+
     path = _abspath(path)
     with ocp.CheckpointManager(path) as mgr:
         if step is None:
             step = mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {path}")
-        return mgr.restore(step, args=ocp.args.StandardRestore(template))
+        meta = mgr.item_metadata(step)
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        restore_args = jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # sharding-from-file notice
+            return mgr.restore(step, args=ocp.args.PyTreeRestore(restore_args=restore_args))
 
 
 def restore_static_only(appearance_params, online_params):

@@ -1,0 +1,264 @@
+"""Config system: one flat typed namespace of experiment flags.
+
+Counterpart of the reference configargparse setup (utils/io.py:56-484, ~80
+flags; 15 config files under configs/). Reads the same `key = value` .txt
+format the reference ships, so its experiment files port verbatim, plus CLI
+`--key value` overrides. Snapshot-to-disk is kept (copy_config_save_args).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+from typing import List, Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # run identity / paths
+    job_id: str = ""
+    config: str = ""
+    expname: str = "exp"
+    test: bool = False
+    basedir: str = "./logs"
+    datadir: str = ""
+    code_dir: str = ""
+
+    # workload
+    num_frames: int = 16
+    num_vehicles: int = 1
+    has_depth_data: bool = False
+    epochs: int = 100
+    epochs_appearance: int = 800
+    epochs_online: int = 10000
+
+    # model
+    netdepth: int = 8
+    netwidth: int = 256
+    netdepth_fine: int = 8
+    netwidth_fine: int = 256
+    use_viewdirs: bool = True
+    i_embed: int = 0
+    multires: int = 10
+    multires_views: int = 4
+    raw_noise_std: float = 0.0
+    end_barf: int = -1
+
+    # sampling / rendering
+    N_rand: int = 1000
+    N_samples: int = 256
+    N_importance: int = 256
+    perturb: float = 1.0
+    near: float = 3.0
+    far: float = 80.0
+    far_dist: float = 1e10
+    white_bkgd: bool = False
+    lindisp: bool = False
+    no_ndc: bool = True
+
+    # optimization
+    lrate: float = 5e-4
+    lrate_static: float = 5e-4
+    lrate_dynamic: float = 5e-4
+    lrate_pose: float = 5e-4
+    accumulate_grad_batches: int = 1
+    lrate_decay: Optional[int] = None
+    lrate_decay_rate: float = 0.5
+    lrate_decay_steps: Optional[List[int]] = None
+    pose_lrate_decay: Optional[int] = None
+    pose_lrate_decay_rate: float = 0.5
+    pose_lrate_decay_steps: Optional[List[int]] = None
+    mixed_precision: bool = False
+
+    # chunking (kept for config compat; the TPU path renders full batches
+    # under jit and tiles eval frames — see eval/render.py)
+    chunk: int = 8192
+    netchunk: int = 16384
+
+    # checkpoints
+    ckpt_path: str = ""
+    skip_appearance_init: bool = False
+    appearance_ckpt_path: str = ""
+    online_ckpt_path: str = ""
+
+    # online training
+    car_sample_ratio: float = 0.0
+    load_gt_poses: bool = False
+    noisy_pose_init: bool = True
+    appearance_init_thres: float = 9e-4
+    online_thres: float = 1e-3
+    initial_num_frames: int = 5
+    entropy_weight: float = 0.0
+
+    # regularizers
+    lambda_alpha_entropy: float = 0.0
+    lambda_dynamic_vs_static_reg: float = 0.0
+    lambda_ray_reg: float = 0.0
+    lambda_static_reg: float = 0.0
+    lambda_dynamic_reg: float = 0.0
+    epoch_start_dynamic_reg: int = 0
+
+    # depth supervision
+    depth_loss: bool = False
+    depth_lambda: float = 0.0
+    sigma_loss: bool = False
+    sigma_lambda: float = 0.0
+
+    # dataset
+    dataset_type: str = "carla"
+    testskip: int = 8
+    num_workers: int = 4
+    scale_factor: float = -1.0
+    half_res: bool = False
+    factor: int = 8
+    precrop_iters: int = -1
+    precrop_frac: float = 0.5
+
+    # occupancy grid (nerfacc-equivalent path)
+    grid_resolution: int = 128
+    grid_nlvl: int = 1
+    render_step_size: float = 5e-3
+    target_sample_batch_size: int = 1 << 16
+
+    # eval
+    bbox_view: int = 0
+    has_bbox: bool = False
+    eval_last_frame: int = 0
+    save_video_frames: bool = False
+    render_test: bool = False
+
+    # logging cadence
+    epoch_ckpt: int = 1
+    epoch_print: int = 1
+    epoch_val: int = 1
+
+    # steps per pseudo-epoch (reference hardcodes 1000; configurable here,
+    # mainly so tests can shrink it)
+    steps_per_epoch: int = 1000
+
+
+_FIELDS = {f.name: f for f in dataclasses.fields(Config)}
+
+
+def _parse_value(name: str, raw: str):
+    f = _FIELDS[name]
+    raw = raw.strip()
+    base = f.type
+    if raw.lower() in ("true", "false"):
+        return raw.lower() == "true"
+    if raw.startswith("["):
+        return [int(x) for x in raw.strip("[]").split(",") if x.strip()]
+    if base in (int, "int"):
+        return int(float(raw))
+    if base in (float, "float"):
+        return float(raw)
+    if base in (bool, "bool"):
+        return raw.lower() in ("1", "true", "yes")
+    if "List" in str(base):
+        return [int(x) for x in raw.replace(",", " ").split()]
+    if "int" in str(base) and "Optional" in str(base):
+        return int(float(raw))
+    return raw
+
+
+def parse_config_file(path: str) -> dict:
+    """Parse the reference's `key = value` txt format (comments with #)."""
+    out = {}
+    with open(path) as fp:
+        for line in fp:
+            line = line.split("#", 1)[0].strip()
+            if not line or "=" not in line:
+                continue
+            key, val = line.split("=", 1)
+            key = key.strip()
+            if key in _FIELDS:
+                out[key] = _parse_value(key, val)
+    return out
+
+
+def load_config(argv: Optional[List[str]] = None) -> Config:
+    """--config file + --key value CLI overrides -> Config."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    overrides = {}
+    i = 0
+    cfg_path = None
+    while i < len(argv):
+        a = argv[i]
+        if not a.startswith("--"):
+            i += 1
+            continue
+        key = a[2:]
+        val = "true"
+        if i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+            val = argv[i + 1]
+            i += 1
+        if key == "config":
+            cfg_path = val
+        elif key in _FIELDS:
+            overrides[key] = _parse_value(key, val)
+        else:
+            raise ValueError(f"unknown flag --{key}")
+        i += 1
+
+    values = {}
+    if cfg_path:
+        values.update(parse_config_file(cfg_path))
+        values["config"] = cfg_path
+    values.update(overrides)
+    return Config(**values)
+
+
+def save_config(cfg: Config, run_dir: str):
+    """Snapshot the resolved config into the run directory
+    (reference copy_config_save_args, utils/io.py:23-32)."""
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "args.json"), "w") as fp:
+        json.dump(dataclasses.asdict(cfg), fp, indent=2, default=str)
+
+
+def star_config_from(cfg: Config):
+    """Map the flat flags onto a models.star.StarConfig."""
+    import jax.numpy as jnp
+
+    from ..models.star import StarConfig
+
+    scale = cfg.scale_factor if cfg.scale_factor > 0 else 1.0
+    return StarConfig(
+        num_vehicles=cfg.num_vehicles,
+        netdepth=cfg.netdepth,
+        netdepth_fine=cfg.netdepth_fine,
+        netwidth=cfg.netwidth,
+        netwidth_fine=cfg.netwidth_fine,
+        multires=cfg.multires,
+        multires_views=cfg.multires_views,
+        n_samples=cfg.N_samples,
+        n_importance=cfg.N_importance,
+        near=cfg.near * scale,
+        far=cfg.far * scale,
+        far_dist=cfg.far_dist,
+        raw_noise_std=cfg.raw_noise_std,
+        white_bkgd=cfg.white_bkgd,
+        lindisp=cfg.lindisp,
+        perturb=cfg.perturb,
+        end_barf=cfg.end_barf,
+        compute_dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32,
+    )
+
+
+def loss_config_from(cfg: Config):
+    from ..train.loop import LossConfig
+
+    return LossConfig(
+        lambda_alpha_entropy=cfg.lambda_alpha_entropy,
+        lambda_dynamic_vs_static_reg=cfg.lambda_dynamic_vs_static_reg,
+        lambda_ray_reg=cfg.lambda_ray_reg,
+        lambda_static_reg=cfg.lambda_static_reg,
+        lambda_dynamic_reg=cfg.lambda_dynamic_reg,
+        epoch_start_dynamic_reg=cfg.epoch_start_dynamic_reg,
+        use_depth_loss=cfg.depth_loss,
+        depth_lambda=cfg.depth_lambda or 0.0,
+        use_sigma_loss=cfg.sigma_loss,
+        sigma_lambda=cfg.sigma_lambda or 0.0,
+    )

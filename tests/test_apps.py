@@ -1,0 +1,106 @@
+"""App-level smoke tests: config parsing and short end-to-end training runs
+through the real entry points on the synthetic dataset."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from startrax.utils import config as config_mod
+
+
+def test_parse_reference_style_config(tmp_path):
+    p = tmp_path / "cfg.txt"
+    p.write_text(
+        """
+expname = foo
+N_rand = 1400
+lrate = 5e-4
+lrate_decay_steps = [80]
+noisy_pose_init = True
+mixed_precision = False
+# comment line
+scale_factor = 0.01
+"""
+    )
+    cfg = config_mod.load_config(["--config", str(p), "--N_rand", "256"])
+    assert cfg.expname == "foo"
+    assert cfg.N_rand == 256  # CLI override wins
+    assert cfg.lrate == pytest.approx(5e-4)
+    assert cfg.lrate_decay_steps == [80]
+    assert cfg.noisy_pose_init is True
+    assert cfg.scale_factor == pytest.approx(0.01)
+
+
+def test_all_shipped_configs_parse():
+    cfg_dir = os.path.join(os.path.dirname(config_mod.__file__), "..", "configs")
+    files = glob.glob(os.path.join(cfg_dir, "*.txt"))
+    assert len(files) >= 8
+    for f in files:
+        values = config_mod.parse_config_file(f)
+        assert "expname" in values, f
+
+
+def test_star_config_mapping():
+    cfg = config_mod.Config(mixed_precision=True, scale_factor=0.01, near=3.0, far=80.0)
+    sc = config_mod.star_config_from(cfg)
+    assert sc.near == pytest.approx(0.03)
+    assert sc.far == pytest.approx(0.8)
+    import jax.numpy as jnp
+
+    assert sc.compute_dtype == jnp.bfloat16
+
+
+def _tiny_synthetic_cfg(tmp_path, **overrides):
+    base = dict(
+        expname="smoke", basedir=str(tmp_path), dataset_type="synthetic",
+        num_frames=6, num_vehicles=1, near=2.0, far=8.0, scale_factor=-1.0,
+        netdepth=4, netdepth_fine=4, netwidth=32, netwidth_fine=32,
+        N_samples=12, N_importance=12, N_rand=128, steps_per_epoch=10,
+        epoch_val=100, epoch_ckpt=100, mixed_precision=False,
+    )
+    base.update(overrides)
+    return config_mod.Config(**base)
+
+
+def test_app_init_smoke(tmp_path):
+    from startrax.apps import app_init
+
+    cfg = _tiny_synthetic_cfg(tmp_path, epochs_appearance=2, appearance_init_thres=1e-9)
+    params = app_init.train(cfg)
+    assert "static_coarse" in params
+    # metrics were logged
+    metrics_path = tmp_path / "smoke" / "app_init" / "metrics.jsonl"
+    rows = [json.loads(l) for l in open(metrics_path)]
+    assert any("train/fine_loss" in r for r in rows)
+
+
+def test_online_smoke_with_curriculum_and_ckpt(tmp_path):
+    from startrax.apps import online
+
+    cfg = _tiny_synthetic_cfg(
+        tmp_path, epochs_online=2, online_thres=1e9,  # force an advance
+        initial_num_frames=5, lambda_alpha_entropy=1e-3, lambda_ray_reg=1e-5,
+        noisy_pose_init=True, epoch_val=1,
+    )
+    params = online.train(cfg)
+    assert params["poses"].shape == (5, 1, 7)
+    run_dir = tmp_path / "smoke" / "online"
+    rows = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]
+    # curriculum advanced since threshold was huge
+    frames = [r["train/current_frame_num"] for r in rows if "train/current_frame_num" in r]
+    assert max(frames) >= 6
+    # val images rendered
+    assert len(list((run_dir / "images").glob("*.png"))) > 0
+    # checkpoints saved
+    assert (run_dir / "ckpts").exists()
+
+
+def test_nerf_time_smoke(tmp_path):
+    from startrax.apps import nerf_time
+
+    cfg = _tiny_synthetic_cfg(tmp_path, epochs_online=1, online_thres=1e-9)
+    params = nerf_time.train(cfg)
+    assert "coarse" in params and "fine" in params
