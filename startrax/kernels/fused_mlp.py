@@ -1,0 +1,353 @@
+"""Pallas TPU kernel: fused radiance-field MLP (trunk + heads) forward and
+backward.
+
+This is the framework's hot op — the tiny-cuda-nn "fully fused MLP" the
+reference stubs out (models/nerf.py:67-76) rebuilt for TPU. The XLA fallback
+(models/fields.apply_field) materializes every inter-layer activation in HBM:
+for the flagship workload (512k points x 256 wide x ~11 layers) that is
+~5.5 GB of activation traffic per forward — HBM-bound at ~25% MXU
+utilization. This kernel keeps the whole layer chain resident in VMEM per
+point-tile, so HBM traffic drops to the encoded inputs + outputs.
+
+Design:
+- inputs are the *encoded* features (positional encoding computed by XLA —
+  elementwise, cheap, and differentiable for pose gradients),
+- grid over point tiles; all weights live in VMEM across grid steps
+  (constant index_map), ~1.5 MB bf16 for a 256-wide 8-deep field,
+- view branch avoids concatenation: hv = feat @ Wv_top + d_emb @ Wv_bot,
+- backward: one kernel per tile recomputes the forward activations in VMEM,
+  backprops through the chain, emits per-point input grads, and accumulates
+  weight grads in f32 output blocks shared across the (sequential) TPU grid,
+- matmuls in bf16 with f32 accumulation; biases/grads f32.
+
+Structure must match models/fields.init_field:
+  trunk: lin_in -> n_blocks x (fc0, fc1 residual) -> relu -> lin_out
+  heads: alpha(W->1), feature(W->W), views(W+view_ch->W//2), rgb(W//2->3)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE = 1024
+
+
+def _is_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def flatten_params(params: Dict[str, Any], n_blocks: int):
+    """Field param dict -> flat tuple of arrays in kernel operand order."""
+    flat = [params["lin_in"]["w"], params["lin_in"]["b"]]
+    for i in range(n_blocks):
+        blk = params["blocks"][i]
+        flat += [blk["fc0"]["w"], blk["fc0"]["b"], blk["fc1"]["w"], blk["fc1"]["b"]]
+    flat += [
+        params["lin_out"]["w"], params["lin_out"]["b"],
+        params["alpha"]["w"], params["alpha"]["b"],
+        params["feature"]["w"], params["feature"]["b"],
+        params["views"]["w"], params["views"]["b"],
+        params["rgb"]["w"], params["rgb"]["b"],
+    ]
+    return tuple(flat)
+
+
+def unflatten_grads(flat, params: Dict[str, Any], n_blocks: int):
+    """Inverse of flatten_params, shaped like the param dict."""
+    it = iter(flat)
+    out = {"lin_in": {"w": next(it), "b": next(it)}, "blocks": []}
+    for _ in range(n_blocks):
+        out["blocks"].append(
+            {"fc0": {"w": next(it), "b": next(it)}, "fc1": {"w": next(it), "b": next(it)}}
+        )
+    for name in ("lin_out", "alpha", "feature", "views", "rgb"):
+        out[name] = {"w": next(it), "b": next(it)}
+    return out
+
+
+def _dot(a, b):
+    return jnp.dot(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _forward_math(x_emb, d_emb, weights, n_blocks: int, save_acts: bool = False):
+    """Shared fwd chain on VMEM-resident values. weights = flat tuple refs
+    already read. Returns (alpha, rgb[, activations])."""
+    it = iter(weights)
+    W_in, b_in = next(it), next(it)
+    blocks = [(next(it), next(it), next(it), next(it)) for _ in range(n_blocks)]
+    W_out, b_out = next(it), next(it)
+    W_a, b_a = next(it), next(it)
+    W_f, b_f = next(it), next(it)
+    W_v, b_v = next(it), next(it)
+    W_r, b_r = next(it), next(it)
+
+    width = W_in.shape[1]
+    acts = {}
+    bf = jnp.bfloat16  # residuals stored bf16 to fit VMEM in the bwd kernel
+
+    h = _dot(x_emb, W_in) + b_in  # [T, W]
+    for i, (W0, b0, W1, b1) in enumerate(blocks):
+        a0 = jnp.maximum(h, 0.0)
+        n = _dot(a0, W0) + b0
+        a1 = jnp.maximum(n, 0.0)
+        dxb = _dot(a1, W1) + b1
+        if save_acts:
+            acts[f"blk{i}"] = (h.astype(bf), n.astype(bf))  # block pre-activations
+        h = h + dxb
+    r = jnp.maximum(h, 0.0)
+    ho = _dot(r, W_out) + b_out
+    if save_acts:
+        acts["h_last"] = h.astype(bf)
+        acts["ho"] = ho.astype(bf)
+
+    alpha = _dot(ho, W_a) + b_a  # [T, 1]
+    feat = _dot(ho, W_f) + b_f  # [T, W]
+    W_v_top = W_v[:width]
+    W_v_bot = W_v[width:]
+    hv_in = _dot(feat, W_v_top) + _dot(d_emb, W_v_bot) + b_v  # [T, W//2]
+    hv = jnp.maximum(hv_in, 0.0)
+    rgb = _dot(hv, W_r) + b_r  # [T, 3]
+    if save_acts:
+        acts["feat"] = feat.astype(bf)
+        acts["hv_in"] = hv_in.astype(bf)
+        return alpha, rgb, acts
+    return alpha, rgb
+
+
+def _fwd_kernel(n_blocks, x_ref, d_ref, *wrefs_and_out):
+    wrefs = wrefs_and_out[:-1]
+    out_ref = wrefs_and_out[-1]
+    weights = tuple(w[...] for w in wrefs)
+    alpha, rgb = _forward_math(x_ref[...], d_ref[...], weights, n_blocks)
+    out_ref[...] = jnp.concatenate([alpha, rgb], axis=-1)  # [T, 4]
+
+
+def _gt0(x):
+    # Mosaic can't lower bf16 vector compares on all layouts; compare in f32.
+    return x.astype(jnp.float32) > 0.0
+
+
+def _bwd_kernel(n_blocks, x_ref, d_ref, *rest):
+    """rest = (*wrefs, g_ref, dx_ref, dd_ref, *dwrefs)."""
+    n_w = 2 + 4 * n_blocks + 10
+    wrefs = rest[:n_w]
+    g_ref = rest[n_w]
+    dx_ref = rest[n_w + 1]
+    dd_ref = rest[n_w + 2]
+    dwrefs = rest[n_w + 3 :]
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        for dw in dwrefs:
+            dw[...] = jnp.zeros_like(dw)
+
+    weights = tuple(w[...] for w in wrefs)
+    x_emb = x_ref[...]
+    d_emb = d_ref[...]
+    alpha, rgb, acts = _forward_math(x_emb, d_emb, weights, n_blocks, save_acts=True)
+
+    it = iter(weights)
+    W_in, b_in = next(it), next(it)
+    blocks = [(next(it), next(it), next(it), next(it)) for _ in range(n_blocks)]
+    W_out, b_out = next(it), next(it)
+    W_a, b_a = next(it), next(it)
+    W_f, b_f = next(it), next(it)
+    W_v, b_v = next(it), next(it)
+    W_r, b_r = next(it), next(it)
+    width = W_in.shape[1]
+
+    g = g_ref[...]  # [T, 4]
+    dalpha = g[:, 0:1]
+    drgb = g[:, 1:4]
+
+    hv = jnp.maximum(acts["hv_in"], 0.0)
+    dhv = _dot(drgb, W_r.T)
+    dW_r = _dot(hv.T, drgb)
+    db_r = jnp.sum(drgb, axis=0)
+
+    dhv_in = dhv * _gt0(acts["hv_in"])
+    W_v_top = W_v[:width]
+    W_v_bot = W_v[width:]
+    dW_v_top = _dot(acts["feat"].T, dhv_in)
+    dW_v_bot = _dot(d_emb.T, dhv_in)
+    db_v = jnp.sum(dhv_in, axis=0)
+    dfeat = _dot(dhv_in, W_v_top.T)
+    dd_emb = _dot(dhv_in, W_v_bot.T)
+
+    dho = _dot(dfeat, W_f.T) + _dot(dalpha, W_a.T)
+    dW_f = _dot(acts["ho"].T, dfeat)
+    db_f = jnp.sum(dfeat, axis=0)
+    dW_a = _dot(acts["ho"].T, dalpha)
+    db_a = jnp.sum(dalpha, axis=0)
+
+    r = jnp.maximum(acts["h_last"], 0.0)
+    dr = _dot(dho, W_out.T)
+    dW_out = _dot(r.T, dho)
+    db_out = jnp.sum(dho, axis=0)
+    dh = dr * _gt0(acts["h_last"])
+
+    dblocks = []
+    for i in reversed(range(n_blocks)):
+        W0, b0, W1, b1 = blocks[i]
+        h_in, n = acts[f"blk{i}"]
+        a0 = jnp.maximum(h_in, 0.0)
+        a1 = jnp.maximum(n, 0.0)
+        # h_out = h_in + (a1 @ W1 + b1); dh is d h_out
+        da1 = _dot(dh, W1.T)
+        dW1 = _dot(a1.T, dh)
+        db1 = jnp.sum(dh, axis=0)
+        dn = da1 * _gt0(n)
+        dW0 = _dot(a0.T, dn)
+        db0 = jnp.sum(dn, axis=0)
+        da0 = _dot(dn, W0.T)
+        dh = dh + da0 * _gt0(h_in)
+        dblocks.append((dW0, db0, dW1, db1))
+    dblocks.reverse()
+
+    dx_emb = _dot(dh, W_in.T)
+    dW_in = _dot(x_emb.T, dh)
+    db_in = jnp.sum(dh, axis=0)
+
+    dx_ref[...] = dx_emb
+    dd_ref[...] = dd_emb
+
+    dws = [dW_in, db_in]
+    for (dW0, db0, dW1, db1) in dblocks:
+        dws += [dW0, db0, dW1, db1]
+    dws += [dW_out, db_out, dW_a, db_a, dW_f, db_f,
+            jnp.concatenate([dW_v_top, dW_v_bot], axis=0), db_v, dW_r, db_r]
+    for dw_ref, dw in zip(dwrefs, dws):
+        dw_ref[...] += dw
+
+
+def _pad_to(x, n_target):
+    n = x.shape[0]
+    if n == n_target:
+        return x
+    pad = jnp.zeros((n_target - n,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x, pad], axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fused_apply_flat(n_blocks, tile, interpret, x_emb, d_emb, *weights):
+    return _fused_fwd_call(n_blocks, tile, interpret, x_emb, d_emb, weights)
+
+
+def _cast_weights(weights):
+    """Matmul weights go to the kernel in bf16 (halves VMEM + HBM traffic);
+    biases stay f32 (added post-accumulation)."""
+    return tuple(w.astype(jnp.bfloat16) if w.ndim == 2 else w for w in weights)
+
+
+def _fused_fwd_call(n_blocks, tile, interpret, x_emb, d_emb, weights):
+    n = x_emb.shape[0]
+    n_pad = pl.cdiv(n, tile) * tile
+    xp = _pad_to(x_emb, n_pad)
+    dp = _pad_to(d_emb, n_pad)
+    grid = (n_pad // tile,)
+    wk = _cast_weights(weights)
+
+    w_specs = [
+        pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd), memory_space=pltpu.VMEM)
+        for w in wk
+    ]
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_blocks),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, dp, *wk)
+    return out[:n]
+
+
+def _fused_fwd_rule(n_blocks, tile, interpret, x_emb, d_emb, *weights):
+    out = _fused_fwd_call(n_blocks, tile, interpret, x_emb, d_emb, weights)
+    return out, (x_emb, d_emb, weights)
+
+
+def _fused_bwd_rule(n_blocks, tile, interpret, residuals, g):
+    x_emb, d_emb, weights = residuals
+    tile = min(tile, 512)  # bwd holds residual activations in VMEM
+    n = x_emb.shape[0]
+    n_pad = pl.cdiv(n, tile) * tile
+    xp = _pad_to(x_emb, n_pad)
+    dp = _pad_to(d_emb, n_pad)
+    gp = _pad_to(g, n_pad)
+    grid = (n_pad // tile,)
+    wk = _cast_weights(weights)
+
+    w_specs = [
+        pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd), memory_space=pltpu.VMEM)
+        for w in wk
+    ]
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
+    dw_specs = [
+        pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd), memory_space=pltpu.VMEM)
+        for w in weights
+    ]
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_blocks),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_pad, x_emb.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, d_emb.shape[1]), jnp.float32),
+            *dw_shapes,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *w_specs,
+            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *dw_specs,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, dp, *wk, gp)
+
+    dx = outs[0][:n]
+    dd = outs[1][:n]
+    dweights = outs[2:]
+    return (dx, dd, *dweights)
+
+
+_fused_apply_flat.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+def fused_field_apply(
+    params: Dict[str, Any],
+    x_emb,
+    d_emb,
+    n_blocks: int,
+    tile: int = DEFAULT_TILE,
+    interpret: bool | None = None,
+):
+    """Fused MLP: encoded points [N, in_ch] + encoded dirs [N, view_ch] ->
+    (raw_alpha [N], raw_rgb [N, 3]). Differentiable (custom VJP)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    flat = flatten_params(params, n_blocks)
+    out = _fused_apply_flat(n_blocks, tile, interpret, x_emb, d_emb, *flat)
+    return out[:, 0], out[:, 1:4]

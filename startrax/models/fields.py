@@ -42,6 +42,9 @@ class FieldConfig:
     input_dims: int = 3  # 4 for the time-conditioned variant
     end_barf: int = -1
     compute_dtype: Any = jnp.bfloat16
+    # None = auto: the fused Pallas MLP kernel on TPU, plain XLA elsewhere.
+    # The fused path always runs bf16 matmuls; set False for f32 parity runs.
+    use_fused: Any = None
 
     @property
     def n_blocks(self) -> int:
@@ -131,6 +134,12 @@ def apply_field(
     dirs = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
     emb_dirs = positional_encoding(dirs, cfg.multires_views, step=step, end_barf=cfg.end_barf)
 
+    if _resolve_use_fused(cfg):
+        from ..kernels.fused_mlp import fused_field_apply
+
+        raw_alpha, raw_rgb = fused_field_apply(params, emb, emb_dirs, cfg.n_blocks)
+        return raw_alpha.reshape(R, S), raw_rgb.reshape(R, S, 3)
+
     cd = cfg.compute_dtype
 
     h = _dense(params["lin_in"], emb, cd)
@@ -149,6 +158,12 @@ def apply_field(
     return raw_alpha.reshape(R, S), raw_rgb.reshape(R, S, 3)
 
 
+def _resolve_use_fused(cfg: FieldConfig) -> bool:
+    if cfg.use_fused is not None:
+        return bool(cfg.use_fused)
+    return jax.default_backend() == "tpu"
+
+
 def init_stacked_fields(key, cfg: FieldConfig, n: int) -> Params:
     """n independently-initialized fields with leaves stacked on axis 0."""
     keys = jax.random.split(key, n)
@@ -160,7 +175,23 @@ def apply_stacked_fields(params: Params, cfg: FieldConfig, pts, viewdirs, step=N
 
     pts: [n, R, S, 3], viewdirs: [n, R, 3] ->
     (raw_alpha [n, R, S], raw_rgb [n, R, S, 3]).
+
+    The fused-kernel path unrolls the (small, static) vehicle axis in Python
+    rather than vmapping a pallas_call; the XLA path vmaps.
     """
+    if _resolve_use_fused(cfg):
+        n = pts.shape[0]
+        outs = [
+            apply_field(
+                jax.tree.map(lambda x, k=k: x[k], params), cfg, pts[k], viewdirs[k],
+                step=step,
+            )
+            for k in range(n)
+        ]
+        return (
+            jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),
+        )
     return jax.vmap(lambda p, x, v: apply_field(p, cfg, x, v, step=step))(
         params, pts, viewdirs
     )

@@ -57,6 +57,7 @@ class StarConfig:
     perturb: float = 1.0
     end_barf: int = -1
     compute_dtype: Any = jnp.bfloat16
+    use_fused: Any = None  # None = auto (fused Pallas MLP on TPU)
 
     def static_field(self, fine: bool = False) -> FieldConfig:
         return FieldConfig(
@@ -66,6 +67,7 @@ class StarConfig:
             multires_views=self.multires_views,
             end_barf=self.end_barf,
             compute_dtype=self.compute_dtype,
+            use_fused=self.use_fused,
         )
 
     def dynamic_field(self, fine: bool = False) -> FieldConfig:

@@ -1,0 +1,146 @@
+"""Fused Pallas MLP kernel tests (interpret mode on the CPU backend).
+
+The fused kernel must match the XLA field implementation exactly in forward
+(same bf16 matmul sequence) and closely in gradients (bwd recomputes
+activations in bf16).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from startrax.models import fields
+from startrax.kernels.fused_mlp import fused_field_apply, flatten_params, unflatten_grads
+from startrax.ops.encoding import positional_encoding
+
+CFG = fields.FieldConfig(depth=4, width=32, compute_dtype=jnp.bfloat16)
+
+
+def _setup(seed=0, n_rays=4, n_samples=16):
+    params = fields.init_field(jax.random.PRNGKey(seed), CFG)
+    # nonzero fc1 so gradients flow through every path
+    params = jax.tree.map(
+        lambda x: x + 0.01 * jax.random.normal(jax.random.PRNGKey(seed + 1), x.shape),
+        params,
+    )
+    rng = np.random.default_rng(seed)
+    pts = jnp.asarray(rng.normal(size=(n_rays, n_samples, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(n_rays, 3)).astype(np.float32))
+    x = pts.reshape(-1, 3)
+    emb = positional_encoding(x, CFG.multires)
+    d = jnp.broadcast_to(dirs[:, None, :], pts.shape).reshape(-1, 3)
+    emb_d = positional_encoding(d, CFG.multires_views)
+    return params, pts, dirs, emb, emb_d
+
+
+def test_fused_forward_matches_xla():
+    params, pts, dirs, emb, emb_d = _setup()
+    a_ref, r_ref = fields.apply_field(params, CFG, pts, dirs)
+    a_k, r_k = fused_field_apply(params, emb, emb_d, CFG.n_blocks, tile=32, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(a_k).reshape(a_ref.shape), np.asarray(a_ref), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_k).reshape(r_ref.shape), np.asarray(r_ref), atol=1e-5
+    )
+
+
+def test_fused_forward_pads_ragged_batch():
+    params, pts, dirs, emb, emb_d = _setup(n_rays=3, n_samples=11)  # 33 pts, tile 32
+    a_k, r_k = fused_field_apply(params, emb, emb_d, CFG.n_blocks, tile=32, interpret=True)
+    assert a_k.shape == (33,) and r_k.shape == (33, 3)
+    a_ref, r_ref = fields.apply_field(params, CFG, pts, dirs)
+    np.testing.assert_allclose(
+        np.asarray(a_k), np.asarray(a_ref).reshape(-1), atol=1e-5
+    )
+
+
+def test_fused_weight_grads_close_to_xla():
+    params, pts, dirs, emb, emb_d = _setup(seed=2)
+
+    def loss_fused(p):
+        a, r = fused_field_apply(p, emb, emb_d, CFG.n_blocks, tile=32, interpret=True)
+        return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+    def loss_xla(p):
+        a, r = fields.apply_field(p, CFG, pts, dirs)
+        return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+    g1 = jax.grad(loss_fused)(params)
+    g2 = jax.grad(loss_xla)(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-2
+        )
+
+
+def test_fused_input_grads_flow():
+    """d loss / d encoded inputs must be nonzero and close to XLA — this is
+    the path pose gradients take."""
+    params, pts, dirs, emb, emb_d = _setup(seed=3)
+
+    g_emb = jax.grad(
+        lambda e: jnp.sum(
+            jnp.sin(fused_field_apply(params, e, emb_d, CFG.n_blocks, tile=32, interpret=True)[1])
+        )
+    )(emb)
+    assert float(jnp.abs(g_emb).max()) > 0
+    assert np.all(np.isfinite(np.asarray(g_emb)))
+
+    # reference input grad through the XLA path
+    def xla_from_emb(e):
+        # re-implement apply_field's MLP on explicit encodings
+        cd = CFG.compute_dtype
+        from startrax.models.fields import _dense
+
+        h = _dense(params["lin_in"], e, cd)
+        for blk in params["blocks"]:
+            net = _dense(blk["fc0"], jax.nn.relu(h), cd)
+            dx = _dense(blk["fc1"], jax.nn.relu(net), cd)
+            h = h + dx
+        h = _dense(params["lin_out"], jax.nn.relu(h), cd)
+        feature = _dense(params["feature"], h, cd)
+        hv = jnp.concatenate([feature, emb_d], axis=-1)
+        hv = jax.nn.relu(_dense(params["views"], hv, cd))
+        return jnp.sum(jnp.sin(_dense(params["rgb"], hv, cd)))
+
+    g_ref = jax.grad(xla_from_emb)(emb)
+    scale = np.abs(np.asarray(g_ref)).max() + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(g_emb) / scale, np.asarray(g_ref) / scale, atol=2e-2
+    )
+
+
+def test_flatten_unflatten_roundtrip():
+    params, *_ = _setup(seed=4)
+    flat = flatten_params(params, CFG.n_blocks)
+    back = unflatten_grads(flat, params, CFG.n_blocks)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_apply_field_fused_flag_dispatch():
+    """use_fused=True routes through the kernel even on CPU (interpret)."""
+    import dataclasses
+
+    params, pts, dirs, *_ = _setup(seed=5)
+    cfg_fused = dataclasses.replace(CFG, use_fused=True)
+    a1, r1 = fields.apply_field(params, cfg_fused, pts, dirs)
+    a2, r2 = fields.apply_field(params, CFG, pts, dirs)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+
+
+def test_stacked_fields_fused_matches_vmap():
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, use_fused=True)
+    stacked = fields.init_stacked_fields(jax.random.PRNGKey(6), cfg, 2)
+    rng = np.random.default_rng(7)
+    pts = jnp.asarray(rng.normal(size=(2, 4, 8, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(2, 4, 3)).astype(np.float32))
+    a1, r1 = fields.apply_stacked_fields(stacked, cfg, pts, dirs)
+    a2, r2 = fields.apply_stacked_fields(stacked, CFG, pts, dirs)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
