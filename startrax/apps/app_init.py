@@ -55,7 +55,11 @@ def train(cfg: Config):
             if cfg.dataset_type == "blender":
                 batch = train_data.sample_batch(rng, cfg.N_rand)
             else:
-                batch = train_data.sample_batch(rng, cfg.N_rand, frame=0)
+                # car-balanced sampling covers the reference's semantic
+                # app-init variant (carla_star_app_init_semantic.py)
+                batch = train_data.sample_batch(
+                    rng, cfg.N_rand, frame=0, car_sample_ratio=cfg.car_sample_ratio
+                )
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             key, sub = jax.random.split(key)
             params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)

@@ -81,7 +81,9 @@ def train(cfg: Config):
         accumulate_steps=cfg.accumulate_grad_batches,
     )
     opt_state = tx.init(params)
-    step_fn = loop.make_online_train_step(star_cfg, loss_cfg, tx)
+    step_fn = loop.make_online_train_step(
+        star_cfg, loss_cfg, tx, trans_only=cfg.pose_trans_only
+    )
 
     cur_cfg = CurriculumConfig(
         num_frames=cfg.num_frames,

@@ -134,8 +134,14 @@ def init_online_params(key, star_cfg: StarConfig, num_frames: int, init_poses=No
     return {"nerf": nerf, "poses": poses}
 
 
-def make_online_train_step(star_cfg: StarConfig, loss_cfg: LossConfig, tx):
-    """Returns jittable (params, opt_state, batch, key, epoch) -> updated."""
+def make_online_train_step(
+    star_cfg: StarConfig, loss_cfg: LossConfig, tx, trans_only: bool = False
+):
+    """Returns jittable (params, opt_state, batch, key, epoch) -> updated.
+
+    trans_only=True pins every pose quaternion to identity and optimizes
+    translations only — the reference's star_trans variant
+    (models/star_trans.py)."""
 
     def loss_fn(params, batch, key, epoch):
         pose = gather_frame_pose(params["poses"], batch["frame"], star_cfg.num_vehicles)
@@ -154,8 +160,12 @@ def make_online_train_step(star_cfg: StarConfig, loss_cfg: LossConfig, tx):
         params = optax.apply_updates(params, updates)
         # keep quaternions normalized after each update (the reference relies
         # on pypose's manifold ops; plain Adam drifts off the unit sphere)
-        q = params["poses"][..., 3:7]
-        params["poses"] = params["poses"].at[..., 3:7].set(lie.quat_normalize(q))
+        if trans_only:
+            ident = jnp.zeros_like(params["poses"][..., 3:7]).at[..., 3].set(1.0)
+            params["poses"] = params["poses"].at[..., 3:7].set(ident)
+        else:
+            q = params["poses"][..., 3:7]
+            params["poses"] = params["poses"].at[..., 3:7].set(lie.quat_normalize(q))
         return params, opt_state, loss, metrics
 
     return train_step

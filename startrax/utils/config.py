@@ -87,6 +87,7 @@ class Config:
     car_sample_ratio: float = 0.0
     load_gt_poses: bool = False
     noisy_pose_init: bool = True
+    pose_trans_only: bool = False  # star_trans variant: translation-only poses
     appearance_init_thres: float = 9e-4
     online_thres: float = 1e-3
     initial_num_frames: int = 5

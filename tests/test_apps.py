@@ -104,3 +104,40 @@ def test_nerf_time_smoke(tmp_path):
     cfg = _tiny_synthetic_cfg(tmp_path, epochs_online=1, online_thres=1e-9)
     params = nerf_time.train(cfg)
     assert "coarse" in params and "fine" in params
+
+
+def test_occgrid_init_smoke(tmp_path):
+    from startrax.apps import occgrid_init
+
+    cfg = _tiny_synthetic_cfg(
+        tmp_path, epochs_appearance=2, appearance_init_thres=1e-9,
+        grid_resolution=16, render_step_size=0.05, N_samples=32,
+    )
+    params, grid = occgrid_init.train(cfg)
+    assert "lin_in" in params
+    import numpy as np
+
+    assert int(grid["step"]) > 0
+
+
+def test_mip_app_init_smoke(tmp_path):
+    from startrax.apps import mip as mip_app
+
+    cfg = _tiny_synthetic_cfg(tmp_path, epochs_appearance=1, appearance_init_thres=1e-9)
+    params = mip_app.train_app_init(cfg)
+    assert "static" in params
+
+
+def test_online_trans_only(tmp_path):
+    import numpy as np
+    from startrax.apps import online
+
+    cfg = _tiny_synthetic_cfg(
+        tmp_path, epochs_online=1, online_thres=1e-12, pose_trans_only=True,
+        noisy_pose_init=False,
+    )
+    params = online.train(cfg)
+    q = np.asarray(params["poses"][..., 3:7])
+    # quaternions pinned to identity; translations may move
+    np.testing.assert_allclose(q[..., :3], 0.0, atol=1e-6)
+    np.testing.assert_allclose(q[..., 3], 1.0, atol=1e-6)

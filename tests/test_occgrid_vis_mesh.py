@@ -1,0 +1,154 @@
+"""Tests for the occupancy grid, visualization helpers, and mesh extraction."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from startrax.kernels import occgrid
+from startrax.utils import mesh as mesh_mod
+from startrax.utils import vis
+
+
+OCC = occgrid.OccGridConfig(
+    resolution=32, aabb_min=(-1, -1, -1), aabb_max=(1, 1, 1),
+    occ_threshold=1e-2, render_step_size=0.05, n_march=64, n_selected=24,
+    update_fraction=1.0,
+)
+
+
+def _blob_density(pts, center=(0.3, 0.0, 0.0), radius=0.2, peak=50.0):
+    d2 = jnp.sum((pts - jnp.asarray(center)) ** 2, axis=-1)
+    return peak * jnp.exp(-d2 / (2 * radius * radius))
+
+
+def test_grid_update_marks_blob():
+    grid = occgrid.init_grid(OCC)
+    grid = occgrid.update_grid(grid, _blob_density, jax.random.PRNGKey(0), OCC)
+    occ = np.asarray(occgrid.occupancy(grid, OCC))
+    # after a full refresh, cells near the blob occupied, far corners not
+    assert occ[21, 16, 16]  # (0.3, 0, 0) cell ~ index 20-21
+    assert not occ[2, 2, 2]
+    frac = occ.mean()
+    assert 0.001 < frac < 0.2, f"occupancy fraction {frac}"
+
+
+def test_march_selects_only_occupied():
+    grid = occgrid.init_grid(OCC)
+    grid = occgrid.update_grid(grid, _blob_density, jax.random.PRNGKey(1), OCC)
+    # ray through the blob center
+    rays_o = jnp.asarray([[-2.0, 0.0, 0.0], [-2.0, 0.95, 0.95]])
+    rays_d = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    z_sel, valid = occgrid.march_and_select(grid, OCC, rays_o, rays_d, 0.5, 4.0)
+    assert z_sel.shape == (2, OCC.n_selected)
+    v0 = np.asarray(valid[0])
+    assert v0.sum() > 0, "ray through blob should hit occupied cells"
+    # samples are depth-ordered with valid block first
+    first_invalid = np.argmax(~v0) if (~v0).any() else len(v0)
+    assert v0[:first_invalid].all() and not v0[first_invalid:].any()
+    # valid z positions are inside the blob region in world space
+    z_valid = np.asarray(z_sel[0])[v0]
+    x_world = -2.0 + z_valid
+    # occupied where density*step > thresh: |x - 0.3| < ~0.66 for this blob
+    assert np.all(np.abs(x_world - 0.3) < 0.75)
+    # ray missing the blob has no valid samples
+    assert np.asarray(valid[1]).sum() == 0
+
+
+def test_masked_alpha_zeroes_invalid():
+    raw = jnp.zeros((2, 4))
+    valid = jnp.asarray([[True, False, True, False], [False] * 4])
+    masked = occgrid.masked_raw_alpha(raw, valid)
+    a = 1.0 - np.exp(-np.log1p(np.exp(np.asarray(masked))) * 0.1)
+    assert a[0, 1] < 1e-6 and a[1, 0] < 1e-6
+    assert a[0, 0] > 0.01
+
+
+def test_occgrid_render_matches_dense_on_coarse_scene():
+    """Compositing with occgrid-selected samples approximates dense sampling
+    when the grid is well-fitted."""
+    from startrax.ops.compositing import raw2outputs
+
+    grid = occgrid.init_grid(OCC)
+    for s in range(3):
+        grid = occgrid.update_grid(grid, _blob_density, jax.random.PRNGKey(s), OCC)
+
+    rays_o = jnp.asarray([[-2.0, 0.0, 0.0]])
+    rays_d = jnp.asarray([[1.0, 0.0, 0.0]])
+
+    # dense reference
+    z_dense = jnp.linspace(0.5, 4.0, 256)[None]
+    pts = rays_o[:, None] + rays_d[:, None] * z_dense[..., None]
+    sigma = _blob_density(pts)
+    raw = jnp.log(jnp.expm1(jnp.maximum(sigma, 1e-6)))  # inverse softplus
+    rgbraw = jnp.full(pts.shape, 2.0)
+    dense = raw2outputs(raw, rgbraw, z_dense, rays_d)
+
+    z_sel, valid = occgrid.march_and_select(grid, OCC, rays_o, rays_d, 0.5, 4.0)
+    pts_s = rays_o[:, None] + rays_d[:, None] * z_sel[..., None]
+    sigma_s = _blob_density(pts_s)
+    raw_s = occgrid.masked_raw_alpha(jnp.log(jnp.expm1(jnp.maximum(sigma_s, 1e-6))), valid)
+    sparse = raw2outputs(raw_s, jnp.full(pts_s.shape, 2.0), z_sel, rays_d)
+
+    np.testing.assert_allclose(float(sparse["acc"][0]), float(dense["acc"][0]), atol=0.05)
+    np.testing.assert_allclose(
+        float(sparse["depth"][0]), float(dense["depth"][0]), atol=0.1
+    )
+
+
+# ------------------------------- vis --------------------------------------
+
+
+def test_visualize_depth_shapes_and_range():
+    d = np.random.default_rng(0).uniform(2, 6, (16, 16)).astype(np.float32)
+    img = vis.visualize_depth(d)
+    assert img.shape == (16, 16, 3)
+    assert img.min() >= 0 and img.max() <= 1
+    batched = vis.visualize_depth(np.stack([d, d]))
+    assert batched.shape == (2, 16, 16, 3)
+
+
+def test_project_points_center():
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]])
+    w2c = np.eye(4)
+    pts = np.array([[0.0, 0.0, -5.0]])  # straight ahead (NeRF -z forward)
+    px = vis.project_points(pts, K, w2c)
+    np.testing.assert_allclose(px, [[32.0, 32.0]], atol=1e-5)
+
+
+def test_draw_box_runs():
+    img = np.zeros((64, 64, 3), np.uint8)
+    corners = np.array(
+        [[10 + 20 * ((c >> 0) & 1), 10 + 20 * ((c >> 1) & 1)] for c in range(8)], float
+    )
+    out = vis.draw_box(img, corners)
+    assert out.sum() > 0  # lines drawn
+
+
+# ------------------------------- mesh -------------------------------------
+
+
+def test_marching_tetrahedra_sphere():
+    n = 48
+    xs = np.linspace(-1, 1, n)
+    g = np.stack(np.meshgrid(xs, xs, xs, indexing="ij"), -1)
+    sdf = 0.6 - np.linalg.norm(g, axis=-1)  # inside sphere radius 0.6
+    verts, faces = mesh_mod.marching_tetrahedra(sdf, 0.0, bounds=(-1, 1))
+    assert len(verts) > 100 and len(faces) > 100
+    r = np.linalg.norm(verts, axis=-1)
+    np.testing.assert_allclose(r.mean(), 0.6, atol=0.02)
+    assert np.abs(r - 0.6).max() < 0.08
+
+
+def test_extract_mesh_writes_obj(tmp_path):
+    def density(pts):
+        return 100.0 * (np.linalg.norm(pts, axis=-1) < 0.5)
+
+    path = tmp_path / "m.obj"
+    verts, faces = mesh_mod.extract_mesh(density, str(path), resolution=24, sigma_threshold=50.0)
+    text = path.read_text()
+    assert text.count("v ") == len(verts)
+    assert text.count("f ") == len(faces)
+    assert len(verts) > 0
