@@ -1,0 +1,174 @@
+"""End-to-end convergence demonstration on the synthetic dynamic scene.
+
+Runs the full two-stage pipeline on one TPU chip:
+  1. appearance init of the static field (PSNR gate),
+  2. online tracking: noisy pose init -> joint field+pose optimization with
+     the curriculum; reports pose error vs ground truth, PSNR, throughput.
+
+This is the self-contained counterpart of the reference's CARLA experiments
+(no CARLA captures ship with either repo). Results land in the run dir and
+are summarized on stdout as JSON.
+
+Usage: python scripts/synthetic_e2e.py [--minutes 30]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from startrax.data.synthetic import SyntheticAdapter, SyntheticScene
+from startrax.eval.image import psnr as psnr_fn, ssim as ssim_fn
+from startrax.eval.pose import get_pose_metrics_multi
+from startrax.eval.render import render_image
+from startrax.models.star import StarConfig, init_star
+from startrax.ops import lie
+from startrax.train import checkpoint as ckpt_mod
+from startrax.train import loop, optim
+from startrax.train.curriculum import CurriculumConfig, CurriculumState, advance
+from startrax.utils.profiling import StepTimer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=30.0)
+    ap.add_argument("--out", default="/tmp/startrax_e2e")
+    ap.add_argument("--height", type=int, default=80)
+    ap.add_argument("--vehicles", type=int, default=2)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    deadline = time.time() + args.minutes * 60
+
+    scene = SyntheticScene(
+        num_vehicles=args.vehicles, num_frames=8, H=args.height, W=args.height,
+        focal=float(args.height),
+    )
+    data = SyntheticAdapter(scene, num_views=8)
+    cfg = StarConfig(
+        num_vehicles=args.vehicles, netdepth=8, netdepth_fine=8, netwidth=128,
+        netwidth_fine=128, n_samples=64, n_importance=64,
+        near=scene.near, far=scene.far, compute_dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(42)
+    key = jax.random.PRNGKey(42)
+    n_rand = 2048
+
+    # ---------------- stage 1: appearance init ----------------
+    params = init_star(key, cfg)
+    tx = optim.make_appinit_optimizer(5e-4, steps_per_epoch=500, decay_epochs=20)
+    opt_state = tx.init(params)
+    step_fn = loop.make_appinit_train_step(cfg, loop.LossConfig(), tx)
+
+    appinit_budget = min(args.minutes * 60 * 0.35, deadline - time.time())
+    t0 = time.time()
+    step = 0
+    timer = StepTimer(sync_every=100)
+    while time.time() - t0 < appinit_budget:
+        batch = {k: jnp.asarray(v) for k, v in data.sample_batch(rng, n_rand, frame=0).items()}
+        key, sub = jax.random.split(key)
+        params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
+        timer.tick(lossv, n_rand)
+        step += 1
+        if step % 500 == 0:
+            print(f"appinit step {step}: fine={float(metrics['fine_loss']):.5f} "
+                  f"psnr={float(metrics['psnr']):.2f} rays/s={timer.rays_per_sec:.0f}",
+                  flush=True)
+    appinit_steps, appinit_fine = step, float(metrics["fine_loss"])
+
+    # static val render
+    rays_o, rays_d = data.view_rays(0)
+    out = render_image(params, cfg, rays_o, rays_d, pose=None)
+    appinit_psnr = float(psnr_fn(jnp.asarray(out["rgb"]), jnp.asarray(data.images[0, 0])))
+    print(f"appinit done: {appinit_steps} steps, val PSNR {appinit_psnr:.2f}", flush=True)
+
+    # ---------------- stage 2: online tracking ----------------
+    online_params = loop.init_online_params(jax.random.PRNGKey(7), cfg, scene.num_frames)
+    online_params = ckpt_mod.restore_static_only(params, online_params)
+    noisy = data.noisy_gt_relative_poses(rng)  # [K, F, 7]
+    online_params["poses"] = jnp.asarray(np.swapaxes(noisy, 0, 1)[1:])
+    gt_rel = np.swapaxes(data.gt_relative_poses(), 0, 1)  # [F, K, 7]
+
+    tx2 = optim.make_star_optimizer(
+        online_params, lrate_static=1e-4, lrate_dynamic=5e-4, lrate_pose=5e-4,
+        steps_per_epoch=500, decay_milestones=[100], grad_clip=1.0,
+    )
+    opt2 = tx2.init(online_params)
+    loss_cfg = loop.LossConfig(
+        lambda_alpha_entropy=1e-3, lambda_dynamic_vs_static_reg=1e-3,
+        lambda_ray_reg=1e-5,
+    )
+    ostep = loop.make_online_train_step(cfg, loss_cfg, tx2)
+
+    cur_cfg = CurriculumConfig(num_frames=scene.num_frames, initial_num_frames=5,
+                               online_thres=2e-3, min_epochs_between=2)
+    cur = CurriculumState.initial(cur_cfg)
+
+    def pose_errors(poses):
+        trans, rot, *_ = get_pose_metrics_multi(np.asarray(poses), gt_rel[1:])
+        return [float(t) for t in trans], [float(r) for r in rot]
+
+    init_trans, init_rot = pose_errors(online_params["poses"])
+    print(f"initial pose error: trans={init_trans} rot={init_rot}", flush=True)
+
+    epoch = 0
+    timer2 = StepTimer(sync_every=100)
+    while time.time() < deadline and not cur.done:
+        fines = []
+        for _ in range(500):
+            batch = {
+                k: jnp.asarray(v)
+                for k, v in data.sample_batch(
+                    rng, n_rand, start_frame=cur.start_frame,
+                    current_frame=cur.current_frame,
+                ).items()
+            }
+            key, sub = jax.random.split(key)
+            online_params, opt2, lossv, metrics = ostep(
+                online_params, opt2, batch, sub, jnp.asarray(epoch)
+            )
+            timer2.tick(lossv, n_rand)
+            fines.append(metrics["fine_loss"])
+        avg = float(np.mean(np.asarray(jnp.stack(fines))))  # one device fetch
+        cur = advance(cur, cur_cfg, avg)
+        trans_err, rot_err = pose_errors(online_params["poses"])
+        print(
+            f"online epoch {epoch}: fine={avg:.5f} window={cur.current_frame} "
+            f"trans={['%.4f' % t for t in trans_err]} rot={['%.4f' % r for r in rot_err]} "
+            f"rays/s={timer2.rays_per_sec:.0f}",
+            flush=True,
+        )
+        epoch += 1
+
+    # final eval: render a frame with learned poses
+    frame = scene.num_frames - 1 if cur.done else max(cur.current_frame - 1, 1)
+    pose = loop.gather_frame_pose(online_params["poses"], jnp.asarray(frame), cfg.num_vehicles)
+    out = render_image(online_params["nerf"], cfg, rays_o, rays_d, pose=pose)
+    final_psnr = float(psnr_fn(jnp.asarray(out["rgb"]), jnp.asarray(data.images[0, frame])))
+    final_trans, final_rot = pose_errors(online_params["poses"])
+
+    summary = {
+        "appinit_val_psnr": round(appinit_psnr, 2),
+        "online_epochs": epoch,
+        "frames_admitted": cur.current_frame,
+        "curriculum_done": cur.done,
+        "final_frame_psnr": round(final_psnr, 2),
+        "init_trans_error": [round(t, 4) for t in init_trans],
+        "final_trans_error": [round(t, 4) for t in final_trans],
+        "init_rot_error": [round(r, 4) for r in init_rot],
+        "final_rot_error": [round(r, 4) for r in final_rot],
+        "online_rays_per_sec": round(timer2.rays_per_sec, 0),
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print("SUMMARY " + json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -65,7 +65,7 @@ def train(cfg: Config):
             params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
             step += 1
             fine_losses.append(metrics["fine_loss"])  # device scalar, no sync
-        avg_fine = float(np.mean([float(x) for x in fine_losses]))
+        avg_fine = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
         ws.metrics.log({"train/fine_loss": avg_fine, "epoch": epoch}, step)
         ws.log(f"epoch {epoch}: fine_loss={avg_fine:.6f}")
 

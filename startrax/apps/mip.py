@@ -110,7 +110,7 @@ def train_app_init(cfg: Config):
             params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
             step += 1
             fine_losses.append(metrics["fine_loss"])
-        avg = float(np.mean([float(x) for x in fine_losses]))
+        avg = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
         ws.metrics.log({"train/fine_loss": avg, "epoch": epoch}, step)
         ws.log(f"epoch {epoch}: fine_loss={avg:.6f}")
         if (epoch + 1) % cfg.epoch_ckpt == 0:
@@ -184,7 +184,7 @@ def train_online(cfg: Config):
             params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
             step += 1
             fine_losses.append(metrics["fine_loss"])
-        avg = float(np.mean([float(x) for x in fine_losses]))
+        avg = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
         cur = advance(cur, cur_cfg, avg)
         ws.metrics.log(
             {"train/fine_loss": avg, "train/current_frame_num": cur.current_frame,

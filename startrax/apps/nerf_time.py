@@ -57,7 +57,7 @@ def train(cfg: Config):
 
     step = 0
     for epoch in range(cfg.epochs_online):
-        fine = 0.0
+        fine_losses = []
         for _ in range(cfg.steps_per_epoch):
             batch = train_data.sample_batch(
                 rng, cfg.N_rand, start_frame=0, current_frame=cfg.num_frames
@@ -66,8 +66,8 @@ def train(cfg: Config):
             key, sub = jax.random.split(key)
             params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
             step += 1
-            fine += float(metrics["fine_loss"])
-        avg = fine / cfg.steps_per_epoch
+            fine_losses.append(metrics["fine_loss"])
+        avg = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
         ws.metrics.log({"train/fine_loss": avg, "epoch": epoch}, step)
         ws.log(f"epoch {epoch}: fine_loss={avg:.6f}")
         if (epoch + 1) % cfg.epoch_ckpt == 0:

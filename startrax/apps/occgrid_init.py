@@ -113,7 +113,7 @@ def train(cfg: Config):
             params, opt_state, lossv, metrics = train_step(params, opt_state, grid, batch, sub)
             step += 1
             fine_losses.append(metrics["fine_loss"])
-        avg = float(np.mean([float(x) for x in fine_losses]))
+        avg = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
         ws.metrics.log(
             {"train/fine_loss": avg, "train/mean_samples": float(metrics["mean_samples"]),
              "epoch": epoch},

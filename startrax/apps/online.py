@@ -47,7 +47,13 @@ def _init_params(cfg: Config, star_cfg, key, train_data, rng):
         app_params = app["params"] if "params" in app else app
         params = ckpt.restore_static_only(app_params, params)
 
-    if cfg.noisy_pose_init and hasattr(train_data, "noisy_gt_relative_poses"):
+    if cfg.load_gt_poses:
+        # debug path: train with ground-truth poses (reference
+        # train_online__.py:102-117); poses are pinned by a zero pose LR set
+        # by the caller
+        gt = np.swapaxes(train_data.gt_relative_poses(), 0, 1)  # [F, K, 7]
+        params["poses"] = jnp.asarray(gt[1:])
+    elif cfg.noisy_pose_init and hasattr(train_data, "noisy_gt_relative_poses"):
         noisy = train_data.noisy_gt_relative_poses(rng)  # [K, F, 7]
         params["poses"] = jnp.asarray(np.swapaxes(noisy, 0, 1)[1:])  # [F-1, K, 7]
     return params
@@ -69,7 +75,7 @@ def train(cfg: Config):
         params,
         lrate_static=cfg.lrate_static,
         lrate_dynamic=cfg.lrate_dynamic,
-        lrate_pose=cfg.lrate_pose,
+        lrate_pose=0.0 if cfg.load_gt_poses else cfg.lrate_pose,
         steps_per_epoch=cfg.steps_per_epoch,
         decay_rate=cfg.lrate_decay_rate,
         decay_epochs=cfg.lrate_decay,
@@ -119,7 +125,7 @@ def train(cfg: Config):
             )
             step += 1
             fine_losses.append(metrics["fine_loss"])  # device scalar, no sync
-        avg_fine = float(np.mean([float(x) for x in fine_losses]))
+        avg_fine = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
 
         prev_frame = cur.current_frame
         if epoch >= cfg.precrop_iters:
@@ -228,6 +234,7 @@ def test(cfg: Config):
     for view in range(n_views):
         rays_o, rays_d = test_data.view_rays(view)
         psnrs, ssims, psnrs_dyn, ious_2d = [], [], [], []
+        video_frames = []
         for frame in range(min(eval_last, test_data.images.shape[1])):
             pose = loop.gather_frame_pose(
                 params["poses"], jnp.asarray(frame), star_cfg.num_vehicles
@@ -269,6 +276,18 @@ def test(cfg: Config):
                 )
 
             ws.metrics.log_image(f"test/view{view}_rgb", out["rgb"], frame)
+            video_frames.append(
+                (255 * np.clip(np.nan_to_num(out["rgb"]), 0, 1)).astype(np.uint8)
+            )
+
+        if cfg.save_video_frames and video_frames:
+            # per-view tracking video (reference video export,
+            # train_online__.py test_step)
+            import imageio.v2 as imageio
+
+            imageio.mimwrite(
+                os.path.join(ws.run_dir, f"view{view}.mp4"), video_frames, fps=4
+            )
 
         row = {
             f"test/view{view}_psnr": float(np.mean(psnrs)),

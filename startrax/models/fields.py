@@ -158,6 +158,32 @@ def apply_field(
     return raw_alpha.reshape(R, S), raw_rgb.reshape(R, S, 3)
 
 
+def query_density(params: Params, cfg: FieldConfig, pts):
+    """Density at world points [N, 3] (post-softplus) — the nerfacc example
+    models' query_density API (reference models/nerf.py:199-420), used for
+    occupancy-grid updates."""
+    dirs = jnp.broadcast_to(jnp.asarray([[0.0, 0.0, -1.0]], pts.dtype), (pts.shape[0], 3))
+    raw_alpha, _ = apply_field(params, cfg, pts[:, None, :], dirs)
+    return jax.nn.softplus(raw_alpha[:, 0])
+
+
+def query_opacity(params: Params, cfg: FieldConfig, pts, step_size: float):
+    """Opacity of a step through each point: 1 - exp(-density * step) —
+    the nerfacc query_opacity used as occ_eval_fn."""
+    return 1.0 - jnp.exp(-query_density(params, cfg, pts) * step_size)
+
+
+def query_rgb(params: Params, cfg: FieldConfig, pts, viewdirs=None):
+    """Radiance at points (post-sigmoid); default view direction -z.
+    Used for vertex-colored mesh export."""
+    if viewdirs is None:
+        viewdirs = jnp.broadcast_to(
+            jnp.asarray([[0.0, 0.0, -1.0]], pts.dtype), (pts.shape[0], 3)
+        )
+    _, raw_rgb = apply_field(params, cfg, pts[:, None, :], viewdirs)
+    return jax.nn.sigmoid(raw_rgb[:, 0])
+
+
 def _resolve_use_fused(cfg: FieldConfig) -> bool:
     if cfg.use_fused is not None:
         return bool(cfg.use_fused)

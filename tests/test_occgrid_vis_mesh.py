@@ -152,3 +152,67 @@ def test_extract_mesh_writes_obj(tmp_path):
     assert text.count("v ") == len(verts)
     assert text.count("f ") == len(faces)
     assert len(verts) > 0
+
+
+def test_query_density_and_opacity():
+    import jax
+    import jax.numpy as jnp
+    from startrax.models import fields
+
+    cfg = fields.FieldConfig(depth=4, width=32, compute_dtype=jnp.float32)
+    params = fields.init_field(jax.random.PRNGKey(0), cfg)
+    pts = jnp.asarray(np.random.default_rng(0).normal(size=(16, 3)).astype(np.float32))
+    d = fields.query_density(params, cfg, pts)
+    assert d.shape == (16,) and bool(jnp.all(d >= 0))
+    o = fields.query_opacity(params, cfg, pts, step_size=0.01)
+    assert bool(jnp.all((o >= 0) & (o <= 1)))
+    rgb = fields.query_rgb(params, cfg, pts)
+    assert rgb.shape == (16, 3) and bool(jnp.all((rgb >= 0) & (rgb <= 1)))
+
+
+def test_extract_color_mesh(tmp_path):
+    def density(pts):
+        return 100.0 * (np.linalg.norm(pts, axis=-1) < 0.5)
+
+    def rgb(pts):
+        return np.tile([[1.0, 0.0, 0.0]], (len(pts), 1))
+
+    path = tmp_path / "c.obj"
+    verts, faces, colors = mesh_mod.extract_color_mesh(
+        density, rgb, str(path), resolution=20, sigma_threshold=50.0
+    )
+    assert len(colors) == len(verts)
+    line = path.read_text().splitlines()[0].split()
+    assert len(line) == 7  # v x y z r g b
+
+
+def test_gradient_isolation_diagnostic():
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from startrax.models.star import StarConfig, init_star, render_star
+    from startrax.train.diagnostics import check_batch_gradient_isolation
+
+    cfg = StarConfig(num_vehicles=1, netdepth=4, netdepth_fine=4, netwidth=16,
+                     netwidth_fine=16, n_samples=8, n_importance=8, near=2.0,
+                     far=6.0, compute_dtype=jnp.float32, perturb=0.0)
+    params = init_star(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "rays_o": jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32)),
+        "rays_d": jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32)),
+    }
+    check_batch_gradient_isolation(
+        lambda o, d: render_star(params, cfg, o, d, key=None, pose=None, train=False),
+        batch,
+    )
+
+    # a mixing renderer must be caught
+    def mixing(o, d):
+        out = render_star(params, cfg, o, d, key=None, pose=None, train=False)
+        out = dict(out)
+        out["rgb"] = out["rgb"] + 0.01 * jnp.mean(out["rgb"], axis=0, keepdims=True)
+        return out
+
+    with pytest.raises(AssertionError, match="mixing"):
+        check_batch_gradient_isolation(mixing, batch)
