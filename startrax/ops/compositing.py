@@ -121,6 +121,18 @@ def raw2outputs_star(
     compositing exactly to single-field compositing, and gives
     T == T_s * prod_k T_d^k up to the 1e-10 guard).
     """
+    # trace-time shape contract (the reference enforces this at runtime with
+    # torchtyping+typeguard, models/types__.py; chex asserts are free under jit)
+    import chex
+
+    R, S = raw_alpha_static.shape
+    K = raw_alpha_dynamic.shape[1]
+    chex.assert_shape(raw_rgb_static, (R, S, 3))
+    chex.assert_shape(raw_alpha_dynamic, (R, K, S))
+    chex.assert_shape(raw_rgb_dynamic, (R, K, S, 3))
+    chex.assert_shape(z_vals, (R, S))
+    chex.assert_shape(rays_d, (R, 3))
+
     dists = _dists_from_z(z_vals, rays_d, far_dist)  # [R, S]
 
     rgb_static = jax.nn.sigmoid(raw_rgb_static)

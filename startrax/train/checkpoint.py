@@ -78,6 +78,17 @@ def restore_static_only(appearance_params, online_params):
     return out
 
 
+def gc_checkpoints(path: str, keep_last: int = 3):
+    """Delete all but the newest `keep_last` checkpoint steps (the reference
+    ships a manual remove_ckpts.py for this)."""
+    path = _abspath(path)
+    with ocp.CheckpointManager(path) as mgr:
+        steps = sorted(mgr.all_steps())
+        for s in steps[:-keep_last] if keep_last > 0 else steps:
+            mgr.delete(s)
+        return sorted(mgr.all_steps())
+
+
 def curriculum_to_dict(state: CurriculumState) -> Dict[str, Any]:
     return dataclasses.asdict(state)
 

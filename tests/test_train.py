@@ -203,3 +203,13 @@ def test_poses_txt_roundtrip(tmp_path):
     # file stores translations x100 (reference utils/io.py:497-519)
     raw = np.loadtxt(p).reshape(-1, 4, 4)
     np.testing.assert_allclose(raw[:, :3, 3], mats[:, :3, 3] * 100, atol=1e-4)
+
+
+def test_gc_checkpoints(tmp_path):
+    d = str(tmp_path / "ck")
+    for s in range(5):
+        ckpt.save_checkpoint(d, {"x": jnp.asarray(float(s))}, step=s)
+    remaining = ckpt.gc_checkpoints(d, keep_last=2)
+    assert remaining == [3, 4]
+    restored = ckpt.restore_checkpoint(d)
+    assert float(restored["x"]) == 4.0
