@@ -38,7 +38,7 @@ def main():
     )
 
     params = loop.init_online_params(jax.random.PRNGKey(0), cfg, NUM_FRAMES)
-    tx = optim.make_star_optimizer(
+    tx = optim.make_fused_star_optimizer(
         params, lrate_static=5e-4, lrate_dynamic=5e-4, lrate_pose=5e-4,
         steps_per_epoch=100, decay_milestones=[60], grad_clip=1.0,
     )

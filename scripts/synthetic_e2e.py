@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--out", default="/tmp/startrax_e2e")
     ap.add_argument("--height", type=int, default=80)
     ap.add_argument("--vehicles", type=int, default=2)
+    ap.add_argument("--lrate_pose", type=float, default=5e-4)
+    ap.add_argument("--lrate_dynamic", type=float, default=5e-4)
+    ap.add_argument("--accum", type=int, default=1)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     deadline = time.time() + args.minutes * 60
@@ -62,7 +65,7 @@ def main():
 
     # ---------------- stage 1: appearance init ----------------
     params = init_star(key, cfg)
-    tx = optim.make_appinit_optimizer(5e-4, steps_per_epoch=500, decay_epochs=20)
+    tx = optim.make_appinit_optimizer(5e-4, steps_per_epoch=500, decay_epochs=20, params=params)
     opt_state = tx.init(params)
     step_fn = loop.make_appinit_train_step(cfg, loop.LossConfig(), tx)
 
@@ -95,9 +98,11 @@ def main():
     online_params["poses"] = jnp.asarray(np.swapaxes(noisy, 0, 1)[1:])
     gt_rel = np.swapaxes(data.gt_relative_poses(), 0, 1)  # [F, K, 7]
 
-    tx2 = optim.make_star_optimizer(
-        online_params, lrate_static=1e-4, lrate_dynamic=5e-4, lrate_pose=5e-4,
+    tx2 = optim.make_fused_star_optimizer(
+        online_params, lrate_static=1e-4, lrate_dynamic=args.lrate_dynamic,
+        lrate_pose=args.lrate_pose,
         steps_per_epoch=500, decay_milestones=[100], grad_clip=1.0,
+        accumulate_steps=args.accum,
     )
     opt2 = tx2.init(online_params)
     loss_cfg = loop.LossConfig(

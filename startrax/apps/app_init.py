@@ -44,6 +44,7 @@ def train(cfg: Config):
         decay_epochs=cfg.lrate_decay,
         decay_milestones=cfg.lrate_decay_steps,
         accumulate_steps=cfg.accumulate_grad_batches,
+        params=params,
     )
     opt_state = tx.init(params)
     step_fn = loop.make_appinit_train_step(star_cfg, loss_cfg, tx)

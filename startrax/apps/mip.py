@@ -139,7 +139,7 @@ def train_online(cfg: Config):
         noisy = train_data.noisy_gt_relative_poses(rng)
         params["poses"] = jnp.asarray(np.swapaxes(noisy, 0, 1)[1:])
 
-    tx = optim.make_star_optimizer(
+    tx = optim.make_fused_star_optimizer(
         params, lrate_static=cfg.lrate_static, lrate_dynamic=cfg.lrate_dynamic,
         lrate_pose=cfg.lrate_pose, steps_per_epoch=cfg.steps_per_epoch,
         decay_rate=cfg.lrate_decay_rate, decay_milestones=cfg.lrate_decay_steps,

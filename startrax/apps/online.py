@@ -71,7 +71,7 @@ def train(cfg: Config):
     rng, key = host_prng(1453)
     params = _init_params(cfg, star_cfg, key, train_data, rng)
 
-    tx = optim.make_star_optimizer(
+    tx = optim.make_fused_star_optimizer(
         params,
         lrate_static=cfg.lrate_static,
         lrate_dynamic=cfg.lrate_dynamic,

@@ -59,13 +59,19 @@ def static_sigma_rgb(pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def vehicle_sigma_rgb(pts_canonical: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Analytic vehicle k in its canonical frame: an anisotropic blob around
-    the origin (long axis = x, like a car)."""
+    """Analytic vehicle k in its canonical frame: an anisotropic super-
+    Gaussian (sharp-edged box-like blob, long axis = x) with a striped
+    texture. The texture matters: a solid-colored blob makes the SE(3) pose
+    photometrically near-unobservable (the dynamic field can absorb pose
+    error), which is not representative of textured CARLA vehicles."""
     scales = np.array([0.45, 0.18, 0.22], np.float32)
-    d2 = np.sum((pts_canonical / scales) ** 2, -1)
-    sigma = 60.0 * np.exp(-d2 / 2.0)
-    rgb = np.broadcast_to(_VEHICLE_COLORS[k % 3], pts_canonical.shape[:-1] + (3,)).copy()
-    return sigma.astype(np.float32), rgb
+    q = np.sum((pts_canonical / scales) ** 4, -1)
+    sigma = 80.0 * np.exp(-q / 2.0)
+    base = _VEHICLE_COLORS[k % 3]
+    x, y, z = pts_canonical[..., 0], pts_canonical[..., 1], pts_canonical[..., 2]
+    stripes = 0.55 + 0.45 * np.sin(14.0 * x) * np.sin(9.0 * y + 3.0 * z)
+    rgb = base * stripes[..., None]
+    return sigma.astype(np.float32), np.clip(rgb, 0.0, 1.0).astype(np.float32)
 
 
 # --------------------------------------------------------------------------

@@ -10,8 +10,12 @@ utilization. This kernel keeps the whole layer chain resident in VMEM per
 point-tile, so HBM traffic drops to the encoded inputs + outputs.
 
 Design:
-- inputs are the *encoded* features (positional encoding computed by XLA —
-  elementwise, cheap, and differentiable for pose gradients),
+- default mode (pe=(multires, multires_views)): inputs are RAW points and
+  view directions; the positional encoding runs inside the kernel as a
+  lane-aligned [T, 128] construction via iota masks (_pe_encode128 — naive
+  3-wide lane concats lower 4x slower in Mosaic), with the PE backward
+  chained in-kernel, so no [N, 90] encode arrays ever hit HBM. A second
+  mode takes pre-encoded features (BARF coarse-to-fine masking, 4-D inputs),
 - grid over point tiles; all weights live in VMEM across grid steps
   (constant index_map), ~1.5 MB bf16 for a 256-wide 8-deep field,
 - view branch avoids concatenation: hv = feat @ Wv_top + d_emb @ Wv_bot,
@@ -78,6 +82,79 @@ def _dot(a, b):
     )
 
 
+def _pe_cols(T: int, num_freqs: int, width: int = 128):
+    """Column metadata for the lane-aligned in-kernel encoding: column j holds
+    x[dim] for j < 3, else sin/cos(x[dim] * 2^freq) with
+    j = 3 + 6*freq + 3*phase + dim (the ops.encoding layout), zero beyond
+    3 + 6*num_freqs. Everything is elementwise on [T, width] — no small-lane
+    concats (which Mosaic lowers poorly)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, width), 1)
+    j = jnp.maximum(cols - 3, 0)
+    freq = jnp.clip(j // 6, 0, num_freqs - 1)
+    rem = j % 6
+    phase = rem // 3
+    dim = jnp.where(cols < 3, cols, rem % 3)
+    out_w = 3 + 6 * num_freqs
+    return cols, freq, phase, dim, out_w
+
+
+def _pe_encode128(x, num_freqs: int, width: int = 128):
+    """x [T, 3] -> lane-aligned encoding [T, width] (zeros beyond out_w)."""
+    T = x.shape[0]
+    cols, freq, phase, dim, out_w = _pe_cols(T, num_freqs, width)
+    x0, x1, x2 = x[:, 0:1], x[:, 1:2], x[:, 2:3]
+    xv = jnp.where(dim == 0, x0, jnp.where(dim == 1, x1, x2))
+    val = xv * jnp.exp2(freq.astype(jnp.float32))
+    enc = jnp.where(phase == 0, jnp.sin(val), jnp.cos(val))
+    enc = jnp.where(cols < 3, xv, enc)
+    return jnp.where(cols < out_w, enc, 0.0)
+
+
+def _pe_encode128_bwd(x, g, num_freqs: int, width: int = 128):
+    """Chain d emb[T, width] -> d x[T, 3]."""
+    T = x.shape[0]
+    cols, freq, phase, dim, out_w = _pe_cols(T, num_freqs, width)
+    x0, x1, x2 = x[:, 0:1], x[:, 1:2], x[:, 2:3]
+    xv = jnp.where(dim == 0, x0, jnp.where(dim == 1, x1, x2))
+    scale = jnp.exp2(freq.astype(jnp.float32))
+    val = xv * scale
+    dval = jnp.where(phase == 0, jnp.cos(val), -jnp.sin(val)) * scale
+    dval = jnp.where(cols < 3, 1.0, dval)
+    dval = jnp.where(cols < out_w, dval, 0.0)
+    gg = g * dval
+    dxs = [
+        jnp.sum(jnp.where(dim == d, gg, 0.0), axis=-1, keepdims=True) for d in range(3)
+    ]
+    return jnp.concatenate(dxs, axis=-1)
+
+
+def _encode_in_kernel(x, num_freqs: int):
+    """NeRF positional encoding computed on VMEM-resident values; layout
+    matches ops.encoding.positional_encoding ([x, sin f0, cos f0, sin f1...])
+    so the same weights work for both paths."""
+    parts = [x]
+    for i in range(num_freqs):
+        s = x * (2.0 ** i)
+        parts.append(jnp.sin(s))
+        parts.append(jnp.cos(s))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _encode_bwd_in_kernel(x, d_emb_grad, num_freqs: int):
+    """Chain rule through the in-kernel encoding: d emb -> d x.
+
+    d_emb_grad: [T, d*(1+2F)] laid out as above; x: [T, d]."""
+    d = x.shape[-1]
+    dx = d_emb_grad[:, :d]
+    for i in range(num_freqs):
+        f = 2.0 ** i
+        s = x * f
+        g_sin = d_emb_grad[:, d * (1 + 2 * i) : d * (2 + 2 * i)]
+        g_cos = d_emb_grad[:, d * (2 + 2 * i) : d * (3 + 2 * i)]
+        dx = dx + f * (g_sin * jnp.cos(s) - g_cos * jnp.sin(s))
+    return dx
+
+
 def _forward_math(x_emb, d_emb, weights, n_blocks: int, save_acts: bool = False):
     """Shared fwd chain on VMEM-resident values. weights = flat tuple refs
     already read. Returns (alpha, rgb[, activations])."""
@@ -123,11 +200,16 @@ def _forward_math(x_emb, d_emb, weights, n_blocks: int, save_acts: bool = False)
     return alpha, rgb
 
 
-def _fwd_kernel(n_blocks, x_ref, d_ref, *wrefs_and_out):
+def _fwd_kernel(n_blocks, pe, x_ref, d_ref, *wrefs_and_out):
     wrefs = wrefs_and_out[:-1]
     out_ref = wrefs_and_out[-1]
     weights = tuple(w[...] for w in wrefs)
-    alpha, rgb = _forward_math(x_ref[...], d_ref[...], weights, n_blocks)
+    x_emb = x_ref[...]
+    d_emb = d_ref[...]
+    if pe is not None:
+        x_emb = _pe_encode128(x_emb, pe[0])
+        d_emb = _pe_encode128(d_emb, pe[1])
+    alpha, rgb = _forward_math(x_emb, d_emb, weights, n_blocks)
     out_ref[...] = jnp.concatenate([alpha, rgb], axis=-1)  # [T, 4]
 
 
@@ -136,7 +218,7 @@ def _gt0(x):
     return x.astype(jnp.float32) > 0.0
 
 
-def _bwd_kernel(n_blocks, x_ref, d_ref, *rest):
+def _bwd_kernel(n_blocks, pe, x_ref, d_ref, *rest):
     """rest = (*wrefs, g_ref, dx_ref, dd_ref, *dwrefs)."""
     n_w = 2 + 4 * n_blocks + 10
     wrefs = rest[:n_w]
@@ -153,8 +235,13 @@ def _bwd_kernel(n_blocks, x_ref, d_ref, *rest):
             dw[...] = jnp.zeros_like(dw)
 
     weights = tuple(w[...] for w in wrefs)
-    x_emb = x_ref[...]
-    d_emb = d_ref[...]
+    x_in = x_ref[...]
+    d_in = d_ref[...]
+    if pe is not None:
+        x_emb = _pe_encode128(x_in, pe[0])
+        d_emb = _pe_encode128(d_in, pe[1])
+    else:
+        x_emb, d_emb = x_in, d_in
     alpha, rgb, acts = _forward_math(x_emb, d_emb, weights, n_blocks, save_acts=True)
 
     it = iter(weights)
@@ -219,8 +306,12 @@ def _bwd_kernel(n_blocks, x_ref, d_ref, *rest):
     dW_in = _dot(x_emb.T, dh)
     db_in = jnp.sum(dh, axis=0)
 
-    dx_ref[...] = dx_emb
-    dd_ref[...] = dd_emb
+    if pe is not None:
+        dx_ref[...] = _pe_encode128_bwd(x_in, dx_emb, pe[0])
+        dd_ref[...] = _pe_encode128_bwd(d_in, dd_emb, pe[1])
+    else:
+        dx_ref[...] = dx_emb
+        dd_ref[...] = dd_emb
 
     dws = [dW_in, db_in]
     for (dW0, db0, dW1, db1) in dblocks:
@@ -239,9 +330,42 @@ def _pad_to(x, n_target):
     return jnp.concatenate([x, pad], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _fused_apply_flat(n_blocks, tile, interpret, x_emb, d_emb, *weights):
-    return _fused_fwd_call(n_blocks, tile, interpret, x_emb, d_emb, weights)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_apply_flat(n_blocks, tile, interpret, pe, x_emb, d_emb, *weights):
+    return _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights)
+
+
+def _pad_rows(w, n_rows):
+    if w.shape[0] == n_rows:
+        return w
+    pad = jnp.zeros((n_rows - w.shape[0],) + w.shape[1:], w.dtype)
+    return jnp.concatenate([w, pad], axis=0)
+
+
+def _pad_weights_for_pe(weights):
+    """Lane-aligned PE produces [T, 128] encodings; pad lin_in rows to 128
+    and the views matrix's direction rows to 128 (zeros — padded encoding
+    columns are zero so results are unchanged)."""
+    ws = list(weights)
+    W_in = ws[0]
+    width = W_in.shape[1]
+    ws[0] = _pad_rows(W_in, 128)
+    # views weight is at index -4 (order: ..., views w, views b, rgb w, rgb b)
+    W_v = ws[-4]
+    top, bot = W_v[:width], W_v[width:]
+    ws[-4] = jnp.concatenate([top, _pad_rows(bot, 128)], axis=0)
+    return tuple(ws)
+
+
+def _unpad_weight_grads(dws, weights):
+    """Slice pe-mode weight grads back to the original shapes."""
+    dws = list(dws)
+    in_ch = weights[0].shape[0]
+    width = weights[0].shape[1]
+    view_ch = weights[-4].shape[0] - width
+    dws[0] = dws[0][:in_ch]
+    dws[-4] = jnp.concatenate([dws[-4][:width], dws[-4][width : width + view_ch]], axis=0)
+    return tuple(dws)
 
 
 def _cast_weights(weights):
@@ -250,20 +374,22 @@ def _cast_weights(weights):
     return tuple(w.astype(jnp.bfloat16) if w.ndim == 2 else w for w in weights)
 
 
-def _fused_fwd_call(n_blocks, tile, interpret, x_emb, d_emb, weights):
+def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights):
     n = x_emb.shape[0]
     n_pad = pl.cdiv(n, tile) * tile
     xp = _pad_to(x_emb, n_pad)
     dp = _pad_to(d_emb, n_pad)
     grid = (n_pad // tile,)
     wk = _cast_weights(weights)
+    if pe is not None:
+        wk = _pad_weights_for_pe(wk)
 
     w_specs = [
-        pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd), memory_space=pltpu.VMEM)
+        pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd))
         for w in wk
     ]
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_blocks),
+        functools.partial(_fwd_kernel, n_blocks, pe),
         out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
         grid=grid,
         in_specs=[
@@ -278,14 +404,13 @@ def _fused_fwd_call(n_blocks, tile, interpret, x_emb, d_emb, weights):
     return out[:n]
 
 
-def _fused_fwd_rule(n_blocks, tile, interpret, x_emb, d_emb, *weights):
-    out = _fused_fwd_call(n_blocks, tile, interpret, x_emb, d_emb, weights)
+def _fused_fwd_rule(n_blocks, tile, interpret, pe, x_emb, d_emb, *weights):
+    out = _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights)
     return out, (x_emb, d_emb, weights)
 
 
-def _fused_bwd_rule(n_blocks, tile, interpret, residuals, g):
+def _fused_bwd_rule(n_blocks, tile, interpret, pe, residuals, g):
     x_emb, d_emb, weights = residuals
-    tile = min(tile, 512)  # bwd holds residual activations in VMEM
     n = x_emb.shape[0]
     n_pad = pl.cdiv(n, tile) * tile
     xp = _pad_to(x_emb, n_pad)
@@ -293,19 +418,21 @@ def _fused_bwd_rule(n_blocks, tile, interpret, residuals, g):
     gp = _pad_to(g, n_pad)
     grid = (n_pad // tile,)
     wk = _cast_weights(weights)
+    if pe is not None:
+        wk = _pad_weights_for_pe(wk)
 
     w_specs = [
+        pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd))
+        for w in wk
+    ]
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wk]
+    dw_specs = [
         pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd), memory_space=pltpu.VMEM)
         for w in wk
     ]
-    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in weights]
-    dw_specs = [
-        pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd), memory_space=pltpu.VMEM)
-        for w in weights
-    ]
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_blocks),
+        functools.partial(_bwd_kernel, n_blocks, pe),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, x_emb.shape[1]), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, d_emb.shape[1]), jnp.float32),
@@ -330,6 +457,8 @@ def _fused_bwd_rule(n_blocks, tile, interpret, residuals, g):
     dx = outs[0][:n]
     dd = outs[1][:n]
     dweights = outs[2:]
+    if pe is not None:
+        dweights = _unpad_weight_grads(dweights, weights)
     return (dx, dd, *dweights)
 
 
@@ -343,11 +472,16 @@ def fused_field_apply(
     n_blocks: int,
     tile: int = DEFAULT_TILE,
     interpret: bool | None = None,
+    pe=None,
 ):
     """Fused MLP: encoded points [N, in_ch] + encoded dirs [N, view_ch] ->
-    (raw_alpha [N], raw_rgb [N, 3]). Differentiable (custom VJP)."""
+    (raw_alpha [N], raw_rgb [N, 3]). Differentiable (custom VJP).
+
+    With pe=(multires, multires_views), x_emb/d_emb are RAW [N, 3] points and
+    directions and the positional encoding (and its backward) runs inside the
+    kernel — no [N, 90] encode arrays in HBM."""
     if interpret is None:
         interpret = not _is_tpu()
     flat = flatten_params(params, n_blocks)
-    out = _fused_apply_flat(n_blocks, tile, interpret, x_emb, d_emb, *flat)
+    out = _fused_apply_flat(n_blocks, tile, interpret, pe, x_emb, d_emb, *flat)
     return out[:, 0], out[:, 1:4]

@@ -129,16 +129,28 @@ def apply_field(
         t = jnp.broadcast_to(jnp.asarray(time, x.dtype).reshape(-1), (x.shape[0],))
         x = jnp.concatenate([x, t[:, None]], axis=-1)
 
-    emb = positional_encoding(x, cfg.multires, step=step, end_barf=cfg.end_barf)
-
     dirs = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
-    emb_dirs = positional_encoding(dirs, cfg.multires_views, step=step, end_barf=cfg.end_barf)
 
     if _resolve_use_fused(cfg):
         from ..kernels.fused_mlp import fused_field_apply
 
-        raw_alpha, raw_rgb = fused_field_apply(params, emb, emb_dirs, cfg.n_blocks)
+        barf_active = step is not None and cfg.end_barf > 0
+        if x.shape[-1] == 3 and not barf_active:
+            # raw pts/dirs; the lane-aligned positional encoding (and its
+            # backward) runs inside the kernel — no [N, 90] encode arrays
+            raw_alpha, raw_rgb = fused_field_apply(
+                params, x, dirs, cfg.n_blocks, pe=(cfg.multires, cfg.multires_views)
+            )
+        else:
+            emb = positional_encoding(x, cfg.multires, step=step, end_barf=cfg.end_barf)
+            emb_dirs = positional_encoding(
+                dirs, cfg.multires_views, step=step, end_barf=cfg.end_barf
+            )
+            raw_alpha, raw_rgb = fused_field_apply(params, emb, emb_dirs, cfg.n_blocks)
         return raw_alpha.reshape(R, S), raw_rgb.reshape(R, S, 3)
+
+    emb = positional_encoding(x, cfg.multires, step=step, end_barf=cfg.end_barf)
+    emb_dirs = positional_encoding(dirs, cfg.multires_views, step=step, end_barf=cfg.end_barf)
 
     cd = cfg.compute_dtype
 

@@ -144,3 +144,47 @@ def test_stacked_fields_fused_matches_vmap():
     a2, r2 = fields.apply_stacked_fields(stacked, CFG, pts, dirs)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
+
+
+def test_fused_pe_in_kernel_matches_xla():
+    params, pts, dirs, emb, emb_d = _setup(seed=6)
+    a_ref, r_ref = fields.apply_field(params, CFG, pts, dirs)
+    x = pts.reshape(-1, 3)
+    d = jnp.broadcast_to(dirs[:, None, :], pts.shape).reshape(-1, 3)
+    a_k, r_k = fused_field_apply(
+        params, x, d, CFG.n_blocks, tile=32, interpret=True,
+        pe=(CFG.multires, CFG.multires_views),
+    )
+    np.testing.assert_allclose(
+        np.asarray(a_k).reshape(a_ref.shape), np.asarray(a_ref), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_k).reshape(r_ref.shape), np.asarray(r_ref), atol=1e-5
+    )
+
+
+def test_fused_pe_in_kernel_input_grads():
+    """Pose gradients flow through the in-kernel encoding: d loss / d pts must
+    match the XLA PE + fused-emb path."""
+    params, pts, dirs, emb, emb_d = _setup(seed=7)
+    x = pts.reshape(-1, 3)
+    d = jnp.broadcast_to(dirs[:, None, :], pts.shape).reshape(-1, 3)
+
+    def loss_pe(x):
+        a, r = fused_field_apply(
+            params, x, d, CFG.n_blocks, tile=32, interpret=True,
+            pe=(CFG.multires, CFG.multires_views),
+        )
+        return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+    from startrax.ops.encoding import positional_encoding
+
+    def loss_xla_pe(x):
+        e = positional_encoding(x, CFG.multires)
+        a, r = fused_field_apply(params, e, emb_d, CFG.n_blocks, tile=32, interpret=True)
+        return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+    g1 = jax.grad(loss_pe)(x)
+    g2 = jax.grad(loss_xla_pe)(x)
+    scale = np.abs(np.asarray(g2)).max() + 1e-6
+    np.testing.assert_allclose(np.asarray(g1) / scale, np.asarray(g2) / scale, atol=2e-2)

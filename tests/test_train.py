@@ -213,3 +213,30 @@ def test_gc_checkpoints(tmp_path):
     assert remaining == [3, 4]
     restored = ckpt.restore_checkpoint(d)
     assert float(restored["x"]) == 4.0
+
+
+def test_schedule_accounts_for_accumulation():
+    """With accumulate_steps=k, LR milestones must fire at the same epoch in
+    micro-step terms (MultiSteps advances schedules per effective step)."""
+    params = {"nerf": {"static_coarse": {"w": jnp.zeros(3)}}, "poses": jnp.zeros((1, 1, 7))}
+    tx = optim.make_star_optimizer(
+        params, lrate_static=1e-2, lrate_dynamic=1e-2, lrate_pose=1e-2,
+        steps_per_epoch=10, decay_milestones=[2], decay_rate=0.5,
+        grad_clip=None, accumulate_steps=5,
+    )
+    state = tx.init(params)
+    g = jax.tree.map(jnp.ones_like, params)
+    p = params
+    deltas = []
+    prev = float(p["nerf"]["static_coarse"]["w"][0])
+    for i in range(40):  # 4 epochs of 10 micro-steps
+        updates, state = tx.update(g, state, p)
+        p = optax.apply_updates(p, updates)
+        cur = float(p["nerf"]["static_coarse"]["w"][0])
+        if cur != prev:
+            deltas.append(cur - prev)
+            prev = cur
+    # adam deltas equal -lr; after epoch 2 (4 effective steps) lr halves
+    assert len(deltas) == 8
+    early, late = abs(deltas[0]), abs(deltas[-1])
+    assert late == pytest.approx(early * 0.5, rel=1e-3)
