@@ -101,7 +101,7 @@ def main():
     tx2 = optim.make_fused_star_optimizer(
         online_params, lrate_static=1e-4, lrate_dynamic=args.lrate_dynamic,
         lrate_pose=args.lrate_pose,
-        steps_per_epoch=500, decay_milestones=[100], grad_clip=1.0,
+        steps_per_epoch=500, decay_milestones=[60], grad_clip=1.0,
         accumulate_steps=args.accum,
     )
     opt2 = tx2.init(online_params)

@@ -127,9 +127,11 @@ def train_online(cfg: Config):
     train_data = make_dataset(cfg, "train")
     rng, key = host_prng(1453)
 
+    from ..ops import lie
+
     params = {
         "nerf": mip.init_star_mip(key, mcfg),
-        "poses": loop.init_online_params(key, _star_like(mcfg), cfg.num_frames)["poses"],
+        "poses": lie.se3_identity(cfg.num_frames - 1, mcfg.num_vehicles),
     }
     if cfg.appearance_ckpt_path:
         app = ckpt.restore_checkpoint(cfg.appearance_ckpt_path)
@@ -200,14 +202,6 @@ def train_online(cfg: Config):
         if cur.done:
             break
     return params
-
-
-def _star_like(mcfg: mip.MipConfig):
-    """Minimal StarConfig shim for pose-table init."""
-    from ..models.star import StarConfig
-
-    return StarConfig(num_vehicles=mcfg.num_vehicles, netdepth=2, netwidth=8,
-                      n_samples=4, n_importance=0)
 
 
 def main(argv=None):
