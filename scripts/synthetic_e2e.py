@@ -172,6 +172,32 @@ def main():
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+
+    # artifacts: final checkpoint + rendered decomposition panels + video
+    ckpt_mod.save_checkpoint(os.path.join(args.out, "ckpt"),
+                             {"params": online_params}, step=epoch)
+    import imageio.v2 as imageio
+    from startrax.ops.losses import to8b
+    from startrax.utils.vis import visualize_depth
+
+    frames_rgb = []
+    for f in range(scene.num_frames):
+        pose_f = loop.gather_frame_pose(
+            online_params["poses"], jnp.asarray(f), cfg.num_vehicles)
+        o = render_image(online_params["nerf"], cfg, rays_o, rays_d, pose=pose_f,
+                         with_test_outputs=True)
+        frames_rgb.append(to8b(o["rgb"]))
+        if f == scene.num_frames - 1:
+            imageio.imwrite(os.path.join(args.out, "final_rgb.png"), to8b(o["rgb"]))
+            imageio.imwrite(os.path.join(args.out, "final_target.png"),
+                            to8b(data.images[0, f]))
+            imageio.imwrite(os.path.join(args.out, "final_static.png"),
+                            to8b(o["rgb_static"]))
+            imageio.imwrite(os.path.join(args.out, "final_dynamic.png"),
+                            to8b(o["rgb_dynamic_all"]))
+            imageio.imwrite(os.path.join(args.out, "final_depth.png"),
+                            to8b(visualize_depth(o["depth"])))
+    imageio.mimwrite(os.path.join(args.out, "tracking.mp4"), frames_rgb, fps=2)
     print("SUMMARY " + json.dumps(summary), flush=True)
 
 

@@ -216,3 +216,24 @@ def test_gradient_isolation_diagnostic():
 
     with pytest.raises(AssertionError, match="mixing"):
         check_batch_gradient_isolation(mixing, batch)
+
+
+def test_sigma_loss_isolation_diagnostic():
+    import jax.numpy as jnp
+    from startrax.models.star import StarConfig, init_star, render_star
+    from startrax.train.diagnostics import check_sigma_loss_isolation
+
+    cfg = StarConfig(num_vehicles=1, netdepth=4, netdepth_fine=4, netwidth=16,
+                     netwidth_fine=16, n_samples=8, n_importance=8, near=2.0,
+                     far=6.0, compute_dtype=jnp.float32, perturb=0.0)
+    params = init_star(jax.random.PRNGKey(1), cfg)
+    rng = np.random.default_rng(1)
+    batch = {
+        "rays_o": jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32)),
+        "rays_d": jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32)),
+        "target_depth": jnp.asarray(rng.uniform(3, 5, size=(4,)).astype(np.float32)),
+    }
+    check_sigma_loss_isolation(
+        lambda o, d: render_star(params, cfg, o, d, key=None, pose=None, train=False),
+        batch,
+    )
