@@ -141,3 +141,40 @@ def test_online_trans_only(tmp_path):
     # quaternions pinned to identity; translations may move
     np.testing.assert_allclose(q[..., :3], 0.0, atol=1e-6)
     np.testing.assert_allclose(q[..., 3], 1.0, atol=1e-6)
+
+
+def test_lego_app_smoke(tmp_path, monkeypatch):
+    """Blender/lego training through the real app entry point."""
+    import json
+    import numpy as np
+    import imageio.v2 as imageio
+    from startrax.apps import lego
+
+    root = tmp_path / "lego_data"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        d = root / split
+        d.mkdir()
+        frames = []
+        for i in range(2):
+            name = f"{split}/r_{i}"
+            imageio.imwrite(root / f"{name}.png",
+                            rng.integers(0, 255, (16, 16, 4), dtype=np.uint8))
+            c2w = np.eye(4); c2w[2, 3] = 4.0
+            frames.append({"file_path": name, "transform_matrix": c2w.tolist()})
+        json.dump({"camera_angle_x": 0.7, "frames": frames},
+                  open(root / f"transforms_{split}.json", "w"))
+
+    cfg = config_mod.Config(
+        expname="lego_smoke", basedir=str(tmp_path), dataset_type="blender",
+        datadir=str(root), white_bkgd=True, near=2.0, far=6.0, scale_factor=-1.0,
+        netdepth=4, netdepth_fine=4, netwidth=16, netwidth_fine=16,
+        N_samples=8, N_importance=8, N_rand=64, steps_per_epoch=5,
+        epochs_appearance=1, appearance_init_thres=1e-12, epoch_val=100,
+        epoch_ckpt=100, mixed_precision=False,
+    )
+    from startrax.apps import app_init
+
+    params = app_init.train(cfg)
+    assert "static_coarse" in params

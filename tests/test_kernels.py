@@ -188,3 +188,18 @@ def test_fused_pe_in_kernel_input_grads():
     g2 = jax.grad(loss_xla_pe)(x)
     scale = np.abs(np.asarray(g2)).max() + 1e-6
     np.testing.assert_allclose(np.asarray(g1) / scale, np.asarray(g2) / scale, atol=2e-2)
+
+
+def test_barf_path_dispatches_and_masks():
+    """end_barf > 0 with a step uses the encode-outside path; low step
+    suppresses high-frequency response."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, end_barf=100, use_fused=True)
+    params, pts, dirs, *_ = _setup(seed=8)
+    a_early, _ = fields.apply_field(params, cfg, pts, dirs, step=jnp.asarray(0.0))
+    a_late, _ = fields.apply_field(params, cfg, pts, dirs, step=jnp.asarray(100.0))
+    # different masking -> different outputs; late == unmasked
+    a_unmasked, _ = fields.apply_field(params, dataclasses.replace(CFG, use_fused=True), pts, dirs)
+    assert float(jnp.abs(a_early - a_late).max()) > 1e-6
+    np.testing.assert_allclose(np.asarray(a_late), np.asarray(a_unmasked), atol=1e-5)
