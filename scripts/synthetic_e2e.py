@@ -197,7 +197,11 @@ def main():
                             to8b(o["rgb_dynamic_all"]))
             imageio.imwrite(os.path.join(args.out, "final_depth.png"),
                             to8b(visualize_depth(o["depth"])))
-    imageio.mimwrite(os.path.join(args.out, "tracking.mp4"), frames_rgb, fps=2)
+    try:
+        imageio.mimwrite(os.path.join(args.out, "tracking.mp4"), frames_rgb, fps=2)
+    except (ValueError, ImportError):
+        imageio.mimwrite(os.path.join(args.out, "tracking.gif"), frames_rgb,
+                         duration=500, loop=0)
     print("SUMMARY " + json.dumps(summary), flush=True)
 
 

@@ -264,13 +264,14 @@ def test(cfg: Config):
                 ious_2d.append(iou2d)
 
             if local_vertices is not None and gt_vehicle is not None and view == cfg.bbox_view:
-                est_mat = np.asarray(lie.se3_to_matrix(pose))
-                # gather est/gt vehicle-to-world: invert the world->canonical warps
-                est_inv = np.asarray(lie.se3_to_matrix(lie.se3_inverse(pose)))
-                gt_inv = np.linalg.inv(
-                    np.asarray(lie.se3_to_matrix(jnp.asarray(gt_rel[frame])))
-                )
-                ious3d, _, _ = iou_mod.compute_3d_iou(est_inv, gt_inv, local_vertices)
+                # est vehicle->world(f) = inv(est_rel) @ inv(gt_pose0);
+                # gt vehicle->world(f) = inv(gt_pose_f)
+                # (reference utils/test.py:114-121)
+                est_rel_inv = np.asarray(lie.se3_to_matrix(lie.se3_inverse(pose)))
+                gt_pose0_inv = np.linalg.inv(gt_vehicle[:, 0])
+                est_v2w = np.einsum("vki,vij->vkj", est_rel_inv, gt_pose0_inv)
+                gt_v2w = np.linalg.inv(gt_vehicle[:, frame])
+                ious3d, _, _ = iou_mod.compute_3d_iou(est_v2w, gt_v2w, local_vertices)
                 ws.metrics.log(
                     {f"test/3d_iou_{k}": float(v) for k, v in enumerate(ious3d)}, frame
                 )
@@ -282,12 +283,18 @@ def test(cfg: Config):
 
         if cfg.save_video_frames and video_frames:
             # per-view tracking video (reference video export,
-            # train_online__.py test_step)
+            # train_online__.py test_step); gif fallback when no ffmpeg backend
             import imageio.v2 as imageio
 
-            imageio.mimwrite(
-                os.path.join(ws.run_dir, f"view{view}.mp4"), video_frames, fps=4
-            )
+            try:
+                imageio.mimwrite(
+                    os.path.join(ws.run_dir, f"view{view}.mp4"), video_frames, fps=4
+                )
+            except (ValueError, ImportError):
+                imageio.mimwrite(
+                    os.path.join(ws.run_dir, f"view{view}.gif"), video_frames,
+                    duration=250, loop=0,
+                )
 
         row = {
             f"test/view{view}_psnr": float(np.mean(psnrs)),

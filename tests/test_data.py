@@ -215,3 +215,42 @@ def test_blender_white_background(blender_dir):
     imageio.imwrite(path, rgba)
     scene = BlenderScene(blender_dir, split="val", white_bkgd=True, testskip=1)
     np.testing.assert_allclose(scene.images[0], 1.0, atol=1e-6)
+
+
+def test_online_test_protocol_on_carla(carla_dir, tmp_path):
+    """Full test() protocol over the fake CARLA capture: renders test views,
+    computes masked PSNR/SSIM, 2D IoU, 3D bbox IoU, RPE/ATE, exports poses."""
+    import json
+    import jax
+    import jax.numpy as jnp
+    from startrax.apps import online
+    from startrax.train import checkpoint as ckpt
+    from startrax.train import loop
+    from startrax.utils import config as config_mod
+    from startrax.utils.config import star_config_from
+
+    cfg = config_mod.Config(
+        expname="carla_test", basedir=str(tmp_path), dataset_type="carla",
+        datadir=carla_dir, test=True, num_frames=N_FRAMES, num_vehicles=N_VEHICLES,
+        has_depth_data=True, scale_factor=0.01, near=3.0, far=80.0,
+        netdepth=4, netdepth_fine=4, netwidth=16, netwidth_fine=16,
+        N_samples=8, N_importance=8, eval_last_frame=2, has_bbox=True,
+        bbox_view=0, mixed_precision=False, save_video_frames=True,
+        online_ckpt_path=str(tmp_path / "ck"),
+    )
+    params = loop.init_online_params(
+        jax.random.PRNGKey(0), star_config_from(cfg), cfg.num_frames
+    )
+    ckpt.save_checkpoint(str(tmp_path / "ck"), {"params": params}, step=0)
+
+    online.test(cfg)
+
+    run_dir = tmp_path / "carla_test" / "online_test"
+    rows = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]
+    keys = set().union(*[set(r) for r in rows])
+    assert any(k.startswith("test/rpe_trans") for k in keys)
+    assert any(k.startswith("test/ate") for k in keys)
+    assert any(k.startswith("test/3d_iou") for k in keys)
+    assert any("psnr" in k for k in keys)
+    assert (run_dir / "poses_vehicle0.txt").exists()
+    assert (run_dir / "view0.mp4").exists() or (run_dir / "view0.gif").exists()
