@@ -134,3 +134,39 @@ def test_conical_frustum_gaussian_mean_on_ray():
     # mean sits along the ray between t0 and t1
     assert np.all(m[..., 2] < -2.0) and np.all(m[..., 2] > -3.0)
     assert np.all(np.asarray(cov) >= 0.0)
+
+
+def test_ipe_matches_monte_carlo_expectation():
+    """IPE is E[sin/cos(f x)] under the Gaussian: verify by sampling."""
+    rng = np.random.default_rng(42)
+    mean = np.array([[0.4, -0.2, 1.1]], np.float32)
+    std = np.array([[0.3, 0.1, 0.5]], np.float32)
+    enc = np.asarray(
+        encoding.integrated_positional_encoding(
+            jnp.asarray(mean), jnp.asarray(std ** 2), num_freqs=3
+        )
+    )[0]
+    samples = mean + rng.standard_normal((200000, 3)).astype(np.float32) * std
+    mc = []
+    for i, f in enumerate(2.0 ** np.arange(3)):
+        mc.append(np.sin(samples * f).mean(0))
+        mc.append(np.cos(samples * f).mean(0))
+    mc = np.concatenate(mc)
+    np.testing.assert_allclose(enc, mc, atol=5e-3)
+
+
+def test_conical_frustum_moments_match_monte_carlo():
+    """The frustum Gaussian's t-mean matches Monte-Carlo over the cone
+    volume (mip-NeRF eq. 7 approximation, within its documented tolerance)."""
+    rng = np.random.default_rng(0)
+    t0, t1, r = 2.0, 2.5, 0.05
+    o = jnp.zeros((1, 1, 3))
+    d = jnp.asarray([[[0.0, 0.0, 1.0]]])
+    mean, cov = encoding.conical_frustum_to_gaussian(
+        o, d, jnp.full((1, 1), t0), jnp.full((1, 1), t1), r
+    )
+    # MC: sample t with density ∝ t^2 (cone cross-section area)
+    u = rng.uniform(size=2000000)
+    t = (t0 ** 3 + u * (t1 ** 3 - t0 ** 3)) ** (1 / 3)
+    np.testing.assert_allclose(float(mean[0, 0, 2]), t.mean(), rtol=2e-3)
+    np.testing.assert_allclose(float(cov[0, 0, 2]), t.var(), rtol=0.15)
