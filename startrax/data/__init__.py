@@ -1,1 +1,1 @@
-from . import synthetic  # noqa: F401
+from . import synthetic, carla, blender, transforms, prefetch  # noqa: F401

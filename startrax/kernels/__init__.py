@@ -1,1 +1,1 @@
-from . import fused_mlp  # noqa: F401
+from . import fused_mlp, occgrid  # noqa: F401

@@ -1,1 +1,1 @@
-from . import lie, rays, sampling, encoding, compositing, losses  # noqa: F401
+from . import lie, rays, sampling, encoding, compositing, regularizers, losses  # noqa: F401

@@ -1,1 +1,1 @@
-from . import optim, curriculum, loop, checkpoint  # noqa: F401
+from . import optim, curriculum, loop, checkpoint, diagnostics  # noqa: F401

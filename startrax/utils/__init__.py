@@ -1,1 +1,1 @@
-from . import config  # noqa: F401
+from . import config, logging, vis, mesh, profiling  # noqa: F401
