@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--lrate_pose", type=float, default=5e-4)
     ap.add_argument("--lrate_dynamic", type=float, default=5e-4)
     ap.add_argument("--accum", type=int, default=1)
+    ap.add_argument("--pose_only_every", type=int, default=0,
+                    help="every N epochs, run one pose-only epoch (fields frozen)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     deadline = time.time() + args.minutes * 60
@@ -111,6 +113,16 @@ def main():
     )
     ostep = loop.make_online_train_step(cfg, loss_cfg, tx2)
 
+    # pose-only refinement: identical step with field LRs pinned to zero —
+    # breaks the field/pose co-adaptation race (round-1 gap #1)
+    tx_pose = optim.make_fused_star_optimizer(
+        online_params, lrate_static=0.0, lrate_dynamic=0.0,
+        lrate_pose=args.lrate_pose, steps_per_epoch=500, grad_clip=1.0,
+        accumulate_steps=args.accum,
+    )
+    opt_pose = tx_pose.init(online_params)
+    ostep_pose = loop.make_online_train_step(cfg, loss_cfg, tx_pose)
+
     cur_cfg = CurriculumConfig(num_frames=scene.num_frames, initial_num_frames=5,
                                online_thres=2e-3, min_epochs_between=2)
     cur = CurriculumState.initial(cur_cfg)
@@ -125,6 +137,8 @@ def main():
     epoch = 0
     timer2 = StepTimer(sync_every=100)
     while time.time() < deadline and not cur.done:
+        pose_only = args.pose_only_every > 0 and epoch > 0 and (
+            epoch % args.pose_only_every == 0)
         fines = []
         for _ in range(500):
             batch = {
@@ -135,16 +149,22 @@ def main():
                 ).items()
             }
             key, sub = jax.random.split(key)
-            online_params, opt2, lossv, metrics = ostep(
-                online_params, opt2, batch, sub, jnp.asarray(epoch)
-            )
+            if pose_only:
+                online_params, opt_pose, lossv, metrics = ostep_pose(
+                    online_params, opt_pose, batch, sub, jnp.asarray(epoch)
+                )
+            else:
+                online_params, opt2, lossv, metrics = ostep(
+                    online_params, opt2, batch, sub, jnp.asarray(epoch)
+                )
             timer2.tick(lossv, n_rand)
             fines.append(metrics["fine_loss"])
         avg = float(np.mean(np.asarray(jnp.stack(fines))))  # one device fetch
         cur = advance(cur, cur_cfg, avg)
         trans_err, rot_err = pose_errors(online_params["poses"])
         print(
-            f"online epoch {epoch}: fine={avg:.5f} window={cur.current_frame} "
+            f"online epoch {epoch}{' [pose-only]' if pose_only else ''}: "
+            f"fine={avg:.5f} window={cur.current_frame} "
             f"trans={['%.4f' % t for t in trans_err]} rot={['%.4f' % r for r in rot_err]} "
             f"rays/s={timer2.rays_per_sec:.0f}",
             flush=True,
