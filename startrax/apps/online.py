@@ -91,6 +91,21 @@ def train(cfg: Config):
         star_cfg, loss_cfg, tx, trans_only=cfg.pose_trans_only
     )
 
+    if cfg.pose_only_every > 0:
+        tx_pose = optim.make_fused_star_optimizer(
+            params, lrate_static=0.0, lrate_dynamic=0.0,
+            lrate_pose=0.0 if cfg.load_gt_poses else cfg.lrate_pose,
+            steps_per_epoch=cfg.steps_per_epoch,
+            pose_decay_rate=cfg.pose_lrate_decay_rate,
+            pose_decay_epochs=cfg.pose_lrate_decay,
+            pose_decay_milestones=cfg.pose_lrate_decay_steps,
+            grad_clip=1.0, accumulate_steps=cfg.accumulate_grad_batches,
+        )
+        opt_state_pose = tx_pose.init(params)
+        step_fn_pose = loop.make_online_train_step(
+            star_cfg, loss_cfg, tx_pose, trans_only=cfg.pose_trans_only
+        )
+
     cur_cfg = CurriculumConfig(
         num_frames=cfg.num_frames,
         initial_num_frames=cfg.initial_num_frames,
@@ -112,6 +127,10 @@ def train(cfg: Config):
     for epoch in range(cfg.epochs_online):
         fine_losses = []
         crop = epoch < cfg.precrop_iters
+        pose_only = (
+            cfg.pose_only_every > 0 and epoch > 0
+            and epoch % cfg.pose_only_every == 0
+        )
         for _ in range(cfg.steps_per_epoch):
             batch = train_data.sample_batch(
                 rng, cfg.N_rand,
@@ -120,9 +139,14 @@ def train(cfg: Config):
             )
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             key, sub = jax.random.split(key)
-            params, opt_state, lossv, metrics = step_fn(
-                params, opt_state, batch, sub, jnp.asarray(epoch)
-            )
+            if pose_only:
+                params, opt_state_pose, lossv, metrics = step_fn_pose(
+                    params, opt_state_pose, batch, sub, jnp.asarray(epoch)
+                )
+            else:
+                params, opt_state, lossv, metrics = step_fn(
+                    params, opt_state, batch, sub, jnp.asarray(epoch)
+                )
             step += 1
             fine_losses.append(metrics["fine_loss"])  # device scalar, no sync
         avg_fine = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch

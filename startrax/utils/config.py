@@ -88,6 +88,9 @@ class Config:
     load_gt_poses: bool = False
     noisy_pose_init: bool = True
     pose_trans_only: bool = False  # star_trans variant: translation-only poses
+    # every N epochs run one pose-only epoch (fields frozen) — breaks the
+    # field/pose co-adaptation plateau; 0 disables (see STATUS.md)
+    pose_only_every: int = 0
     appearance_init_thres: float = 9e-4
     online_thres: float = 1e-3
     initial_num_frames: int = 5
