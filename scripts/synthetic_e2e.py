@@ -45,9 +45,27 @@ def main():
     ap.add_argument("--lrate_pose", type=float, default=5e-4)
     ap.add_argument("--lrate_dynamic", type=float, default=5e-4)
     ap.add_argument("--accum", type=int, default=1)
-    ap.add_argument("--pose_only_every", type=int, default=0,
+    ap.add_argument("--pose_only_every", type=int, default=3,
                     help="every N epochs, run one pose-only epoch (fields frozen)")
+    ap.add_argument("--mixed_frames", type=int, default=1,
+                    help="sample each ray's frame independently (every pose "
+                         "gets gradient every step)")
+    ap.add_argument("--car_ratio", type=float, default=0.25,
+                    help="fraction of rays forced onto vehicle pixels (joint epochs)")
+    ap.add_argument("--car_ratio_pose", type=float, default=0.5,
+                    help="vehicle-pixel ray fraction during pose-only epochs")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on host CPU (smoke tests; JAX_PLATFORMS env is "
+                         "ignored under the axon plugin)")
+    ap.add_argument("--n_rand", type=int, default=2048)
+    ap.add_argument("--width", type=int, default=128,
+                    help="field MLP width")
+    ap.add_argument("--samples", type=int, default=64,
+                    help="coarse/fine sample count per ray")
+    ap.add_argument("--steps_per_epoch", type=int, default=500)
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(args.out, exist_ok=True)
     deadline = time.time() + args.minutes * 60
 
@@ -57,17 +75,20 @@ def main():
     )
     data = SyntheticAdapter(scene, num_views=8)
     cfg = StarConfig(
-        num_vehicles=args.vehicles, netdepth=8, netdepth_fine=8, netwidth=128,
-        netwidth_fine=128, n_samples=64, n_importance=64,
-        near=scene.near, far=scene.far, compute_dtype=jnp.bfloat16,
+        num_vehicles=args.vehicles, netdepth=8, netdepth_fine=8,
+        netwidth=args.width, netwidth_fine=args.width,
+        n_samples=args.samples, n_importance=args.samples,
+        near=scene.near, far=scene.far,
+        compute_dtype=jnp.float32 if args.cpu else jnp.bfloat16,
     )
     rng = np.random.default_rng(42)
     key = jax.random.PRNGKey(42)
-    n_rand = 2048
+    n_rand = args.n_rand
 
     # ---------------- stage 1: appearance init ----------------
     params = init_star(key, cfg)
-    tx = optim.make_appinit_optimizer(5e-4, steps_per_epoch=500, decay_epochs=20, params=params)
+    spe = args.steps_per_epoch
+    tx = optim.make_appinit_optimizer(5e-4, steps_per_epoch=spe, decay_epochs=20, params=params)
     opt_state = tx.init(params)
     step_fn = loop.make_appinit_train_step(cfg, loop.LossConfig(), tx)
 
@@ -103,7 +124,7 @@ def main():
     tx2 = optim.make_fused_star_optimizer(
         online_params, lrate_static=1e-4, lrate_dynamic=args.lrate_dynamic,
         lrate_pose=args.lrate_pose,
-        steps_per_epoch=500, decay_milestones=[60], grad_clip=1.0,
+        steps_per_epoch=spe, decay_milestones=[60], grad_clip=1.0,
         accumulate_steps=args.accum,
     )
     opt2 = tx2.init(online_params)
@@ -117,7 +138,7 @@ def main():
     # breaks the field/pose co-adaptation race (round-1 gap #1)
     tx_pose = optim.make_fused_star_optimizer(
         online_params, lrate_static=0.0, lrate_dynamic=0.0,
-        lrate_pose=args.lrate_pose, steps_per_epoch=500, grad_clip=1.0,
+        lrate_pose=args.lrate_pose, steps_per_epoch=spe, grad_clip=1.0,
         accumulate_steps=args.accum,
     )
     opt_pose = tx_pose.init(online_params)
@@ -134,42 +155,84 @@ def main():
     init_trans, init_rot = pose_errors(online_params["poses"])
     print(f"initial pose error: trans={init_trans} rot={init_rot}", flush=True)
 
+    # polish-stage optimizer: pose-only with a decaying pose LR (fresh Adam
+    # moments; the curriculum-phase schedules keep running in opt_pose)
+    tx_polish = optim.make_fused_star_optimizer(
+        online_params, lrate_static=0.0, lrate_dynamic=0.0,
+        lrate_pose=args.lrate_pose, steps_per_epoch=spe,
+        pose_decay_rate=0.6, pose_decay_epochs=8,
+        grad_clip=1.0, accumulate_steps=args.accum,
+    )
+    opt_polish = tx_polish.init(online_params)
+    ostep_polish = loop.make_online_train_step(cfg, loss_cfg, tx_polish)
+
     epoch = 0
     timer2 = StepTimer(sync_every=100)
-    while time.time() < deadline and not cur.done:
-        pose_only = args.pose_only_every > 0 and epoch > 0 and (
-            epoch % args.pose_only_every == 0)
+    history = []
+    polish_start = None  # wall-clock when the polish stage began
+    mixed = bool(args.mixed_frames)
+
+    def run_epoch(step_fn, opt_st, car_ratio, epoch_idx):
         fines = []
-        for _ in range(500):
+        for _ in range(spe):
             batch = {
                 k: jnp.asarray(v)
                 for k, v in data.sample_batch(
                     rng, n_rand, start_frame=cur.start_frame,
                     current_frame=cur.current_frame,
+                    mixed_frames=mixed, car_sample_ratio=car_ratio,
                 ).items()
             }
+            nonlocal key
             key, sub = jax.random.split(key)
-            if pose_only:
-                online_params, opt_pose, lossv, metrics = ostep_pose(
-                    online_params, opt_pose, batch, sub, jnp.asarray(epoch)
-                )
-            else:
-                online_params, opt2, lossv, metrics = ostep(
-                    online_params, opt2, batch, sub, jnp.asarray(epoch)
-                )
+            p, opt_st, lossv, metrics = step_fn(
+                online_params_box[0], opt_st, batch, sub, jnp.asarray(epoch_idx)
+            )
+            online_params_box[0] = p
             timer2.tick(lossv, n_rand)
             fines.append(metrics["fine_loss"])
-        avg = float(np.mean(np.asarray(jnp.stack(fines))))  # one device fetch
-        cur = advance(cur, cur_cfg, avg)
-        trans_err, rot_err = pose_errors(online_params["poses"])
+        return opt_st, float(np.mean(np.asarray(jnp.stack(fines))))
+
+    online_params_box = [online_params]
+    while time.time() < deadline:
+        in_polish = cur.done
+        if in_polish and polish_start is None:
+            polish_start = time.time()
+            print("curriculum complete -> pose-polish stage", flush=True)
+        if in_polish:
+            # 1 joint field-refresh epoch per 3 pose-only polish epochs
+            pose_only = (epoch % 4) != 0
+        else:
+            pose_only = args.pose_only_every > 0 and epoch > 0 and (
+                epoch % args.pose_only_every == 0)
+
+        if in_polish and pose_only:
+            opt_polish, avg = run_epoch(ostep_polish, opt_polish,
+                                        args.car_ratio_pose, epoch)
+        elif pose_only:
+            opt_pose, avg = run_epoch(ostep_pose, opt_pose,
+                                      args.car_ratio_pose, epoch)
+        else:
+            opt2, avg = run_epoch(ostep, opt2, args.car_ratio, epoch)
+
+        if not cur.done:
+            cur = advance(cur, cur_cfg, avg)
+        trans_err, rot_err = pose_errors(online_params_box[0]["poses"])
+        history.append({"epoch": epoch, "fine": round(avg, 6),
+                        "window": cur.current_frame,
+                        "pose_only": bool(pose_only), "polish": bool(in_polish),
+                        "trans": [round(t, 5) for t in trans_err],
+                        "rot": [round(r, 5) for r in rot_err]})
+        tag = " [polish]" if in_polish else (" [pose-only]" if pose_only else "")
         print(
-            f"online epoch {epoch}{' [pose-only]' if pose_only else ''}: "
+            f"online epoch {epoch}{tag}: "
             f"fine={avg:.5f} window={cur.current_frame} "
             f"trans={['%.4f' % t for t in trans_err]} rot={['%.4f' % r for r in rot_err]} "
             f"rays/s={timer2.rays_per_sec:.0f}",
             flush=True,
         )
         epoch += 1
+    online_params = online_params_box[0]
 
     # final eval: render a frame with learned poses
     frame = scene.num_frames - 1 if cur.done else max(cur.current_frame - 1, 1)
@@ -189,9 +252,17 @@ def main():
         "init_rot_error": [round(r, 4) for r in init_rot],
         "final_rot_error": [round(r, 4) for r in final_rot],
         "online_rays_per_sec": round(timer2.rays_per_sec, 0),
+        "recipe": {
+            "mixed_frames": bool(args.mixed_frames),
+            "car_ratio": args.car_ratio, "car_ratio_pose": args.car_ratio_pose,
+            "pose_only_every": args.pose_only_every, "accum": args.accum,
+            "lrate_pose": args.lrate_pose,
+        },
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    with open(os.path.join(args.out, "history.json"), "w") as f:
+        json.dump(history, f)
 
     # artifacts: final checkpoint + rendered decomposition panels + video
     ckpt_mod.save_checkpoint(os.path.join(args.out, "ckpt"),

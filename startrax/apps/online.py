@@ -91,6 +91,7 @@ def train(cfg: Config):
         star_cfg, loss_cfg, tx, trans_only=cfg.pose_trans_only
     )
 
+    opt_state_pose = None
     if cfg.pose_only_every > 0:
         tx_pose = optim.make_fused_star_optimizer(
             params, lrate_static=0.0, lrate_dynamic=0.0,
@@ -118,8 +119,13 @@ def train(cfg: Config):
             "params": params, "opt_state": opt_state,
             "curriculum": ckpt.curriculum_to_dict(cur), "epoch": 0,
         }
+        saved_keys = ckpt.checkpoint_keys(cfg.online_ckpt_path)
+        if opt_state_pose is not None and "opt_state_pose" in saved_keys:
+            template["opt_state_pose"] = opt_state_pose
         restored = ckpt.restore_checkpoint(cfg.online_ckpt_path, template)
         params, opt_state = restored["params"], restored["opt_state"]
+        if "opt_state_pose" in restored and opt_state_pose is not None:
+            opt_state_pose = restored["opt_state_pose"]
         cur = ckpt.curriculum_from_dict(restored["curriculum"])
         ws.log(f"resumed online training at frame window {cur.current_frame}")
 
@@ -164,23 +170,21 @@ def train(cfg: Config):
 
         if (epoch + 1) % cfg.epoch_val == 0:
             _validate(ws, cfg, params, star_cfg, val_data, gt_rel, rng, cur, step)
-            ckpt.save_checkpoint(
-                ws.ckpt_dir,
-                {"params": params, "opt_state": opt_state,
-                 "curriculum": ckpt.curriculum_to_dict(cur), "epoch": epoch},
-                step=epoch,
-            )
+            state = {"params": params, "opt_state": opt_state,
+                     "curriculum": ckpt.curriculum_to_dict(cur), "epoch": epoch}
+            if opt_state_pose is not None:
+                state["opt_state_pose"] = opt_state_pose
+            ckpt.save_checkpoint(ws.ckpt_dir, state, step=epoch)
 
         if cur.done:
             ws.log("all frames admitted; training complete")
             break
 
-    ckpt.save_checkpoint(
-        ws.ckpt_dir,
-        {"params": params, "opt_state": opt_state,
-         "curriculum": ckpt.curriculum_to_dict(cur), "epoch": cfg.epochs_online},
-        step=cfg.epochs_online,
-    )
+    state = {"params": params, "opt_state": opt_state,
+             "curriculum": ckpt.curriculum_to_dict(cur), "epoch": cfg.epochs_online}
+    if opt_state_pose is not None:
+        state["opt_state_pose"] = opt_state_pose
+    ckpt.save_checkpoint(ws.ckpt_dir, state, step=cfg.epochs_online)
     return params
 
 

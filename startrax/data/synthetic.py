@@ -243,11 +243,50 @@ class SyntheticAdapter:
         self.rays_d = self.data["rays_d"]
         self.near, self.far = scene.near, scene.far
         self.H, self.W = scene.H, scene.W
+        self._car_pools = {}  # (start, end) -> [M, 4] (v, f, y, x) car pixels
 
-    def sample_batch(self, rng, n_rand, start_frame=0, current_frame=1, frame=None, **_):
-        if frame is None:
-            frame = int(rng.integers(start_frame, current_frame))
-        return sample_ray_batch(rng, self.data, n_rand, frame)
+    def _car_pool(self, start: int, end: int) -> np.ndarray:
+        key = (start, end)
+        if key not in self._car_pools:
+            m = self.data["dyn_masks"][:, start:end]  # [V, W, H, W]
+            v, f, y, x = np.nonzero(m)
+            self._car_pools[key] = np.stack([v, f + start, y, x], axis=-1)
+        return self._car_pools[key]
+
+    def sample_batch(self, rng, n_rand, start_frame=0, current_frame=1, frame=None,
+                     car_sample_ratio=0.0, mixed_frames=False, **_):
+        """Random ray minibatch.
+
+        mixed_frames=True samples each ray's frame independently from the
+        window (batch["frame"] becomes an [N] int array), so every frame's
+        pose gets gradient every step; car_sample_ratio reserves that
+        fraction of rays for pixels on a vehicle (reference car-balanced
+        sampling, datasets/carla_star_online__.py:313-350)."""
+        if not mixed_frames:
+            if frame is None:
+                frame = int(rng.integers(start_frame, current_frame))
+            return sample_ray_batch(
+                rng, self.data, n_rand, frame, car_sample_ratio=car_sample_ratio
+            )
+
+        V, F, H, W, _ = self.data["images"].shape
+        n_car = int(n_rand * car_sample_ratio)
+        v = rng.integers(0, V, size=n_rand)
+        f = rng.integers(start_frame, current_frame, size=n_rand)
+        y = rng.integers(0, H, size=n_rand)
+        x = rng.integers(0, W, size=n_rand)
+        if n_car > 0:
+            pool = self._car_pool(start_frame, current_frame)
+            if len(pool):
+                picks = pool[rng.integers(0, len(pool), size=n_car)]
+                v[:n_car], f[:n_car], y[:n_car], x[:n_car] = picks.T
+        return {
+            "rays_o": self.data["rays_o"][v, y, x],
+            "rays_d": self.data["rays_d"][v, y, x],
+            "target": self.data["images"][v, f, y, x],
+            "target_depth": self.data["depths"][v, f, y, x],
+            "frame": f.astype(np.int32),
+        }
 
     def view_rays(self, view: int):
         return self.rays_o[view], self.rays_d[view]
@@ -267,13 +306,21 @@ class SyntheticAdapter:
         return np.asarray(noisy)
 
 
-def sample_ray_batch(rng, data, n_rand: int, frame: int):
+def sample_ray_batch(rng, data, n_rand: int, frame: int, car_sample_ratio: float = 0.0):
     """Random ray minibatch from one frame across all views (the reference's
-    pseudo-epoch sampling, datasets/carla_star_app_init.py)."""
+    pseudo-epoch sampling, datasets/carla_star_app_init.py); a
+    car_sample_ratio fraction of rays is drawn from vehicle pixels
+    (datasets/carla_star_online__.py:313-350)."""
     V, F, H, W, _ = data["images"].shape
     v = rng.integers(0, V, size=n_rand)
     y = rng.integers(0, H, size=n_rand)
     x = rng.integers(0, W, size=n_rand)
+    n_car = int(n_rand * car_sample_ratio)
+    if n_car > 0:
+        cv, cy, cx = np.nonzero(data["dyn_masks"][:, frame])
+        if len(cv):
+            idx = rng.integers(0, len(cv), size=n_car)
+            v[:n_car], y[:n_car], x[:n_car] = cv[idx], cy[idx], cx[idx]
     return {
         "rays_o": data["rays_o"][v, y, x],
         "rays_d": data["rays_d"][v, y, x],

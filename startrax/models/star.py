@@ -94,11 +94,20 @@ def warp_to_vehicle_frames(pose, pts, viewdirs):
     """Transform world-frame sample points and view directions into each
     vehicle's canonical frame.
 
-    pose: [K, 7] SE(3) 7-vecs; pts: [R, S, 3]; viewdirs: [R, 3].
+    pose: [K, 7] SE(3) 7-vecs shared by all rays, or [R, K, 7] per-ray poses
+    (mixed-frame batches: every ray may come from a different frame, so every
+    frame's pose receives gradient every step — a TPU-batch-size capability
+    the reference's one-frame-per-batch sampling doesn't have).
+    pts: [R, S, 3]; viewdirs: [R, 3].
     Returns pts_dyn [K, R, S, 3], viewdirs_dyn [K, R, 3].
     """
-    pts_dyn = lie.se3_act(pose[:, None, None, :], pts[None])
-    dirs_dyn = lie.so3_act(pose[:, None, 3:7], viewdirs[None])
+    if pose.ndim == 3:  # [R, K, 7] -> [K, R, 7]
+        pose = jnp.moveaxis(pose, 0, 1)
+        pts_dyn = lie.se3_act(pose[:, :, None, :], pts[None])
+        dirs_dyn = lie.so3_act(pose[:, :, 3:7], viewdirs[None])
+    else:
+        pts_dyn = lie.se3_act(pose[:, None, None, :], pts[None])
+        dirs_dyn = lie.so3_act(pose[:, None, 3:7], viewdirs[None])
     return pts_dyn, dirs_dyn
 
 

@@ -43,8 +43,14 @@ def restore_checkpoint(path: str, template: Optional[Dict[str, Any]] = None, ste
     Uses PyTreeRestore with per-leaf RestoreArgs rather than StandardRestore:
     on tunneled TPU backends StandardRestore enqueues one host->device
     transfer per leaf, each paying the relay round-trip (~0.3s x hundreds of
-    optimizer-state leaves = minutes). The template is optional — the saved
-    tree structure comes from checkpoint metadata.
+    optimizer-state leaves = minutes).
+
+    Pass `template` whenever the saved tree contains non-dict container nodes
+    (optax NamedTuple states, custom pytrees): without it, orbax rebuilds the
+    tree from checkpoint metadata where every container is a plain dict, so
+    e.g. a restored optimizer state has no .count attribute. With a template,
+    leaves are restored INTO the template's structure (and the template's
+    own leaf values are ignored).
     """
     import warnings
 
@@ -54,14 +60,36 @@ def restore_checkpoint(path: str, template: Optional[Dict[str, Any]] = None, ste
             step = mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {path}")
-        meta = mgr.item_metadata(step)
-        tree = meta.tree if hasattr(meta, "tree") else meta
+        if template is not None:
+            tree = template
+        else:
+            meta = mgr.item_metadata(step)
+            tree = meta.tree if hasattr(meta, "tree") else meta
         restore_args = jax.tree.map(
             lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree
         )
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")  # sharding-from-file notice
+            if template is not None:
+                return mgr.restore(
+                    step,
+                    args=ocp.args.PyTreeRestore(item=template, restore_args=restore_args),
+                )
             return mgr.restore(step, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+
+
+def checkpoint_keys(path: str, step: Optional[int] = None):
+    """Top-level keys of a saved checkpoint (to build a matching restore
+    template when optional entries like opt_state_pose may be absent)."""
+    path = _abspath(path)
+    with ocp.CheckpointManager(path) as mgr:
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {path}")
+        meta = mgr.item_metadata(step)
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        return set(tree.keys())
 
 
 def restore_static_only(appearance_params, online_params):

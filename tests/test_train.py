@@ -154,6 +154,54 @@ def test_online_step_updates_poses_and_normalizes_quats():
     assert "fine_loss" in metrics
 
 
+def test_online_step_mixed_frame_batch():
+    """Per-ray frame indices: every frame's pose must receive gradient in a
+    single step (the TPU mixed-frame batch capability; one-frame-per-batch is
+    the reference's datasets/carla_star_online__.py:287 behavior)."""
+    tx = optim.make_fused_star_optimizer(
+        loop.init_online_params(jax.random.PRNGKey(0), CFG, num_frames=4),
+        lrate_static=1e-3, lrate_dynamic=1e-3, lrate_pose=1e-2,
+        steps_per_epoch=10, grad_clip=1.0,
+    )
+    params = loop.init_online_params(jax.random.PRNGKey(0), CFG, num_frames=4)
+    opt_state = tx.init(params)
+    step_fn = loop.make_online_train_step(CFG, loop.LossConfig(), tx)
+
+    b = _batch(n=48, with_frame=False)
+    # rays from frames 1, 2, 3 mixed in one batch
+    b["frame"] = jnp.asarray(np.tile(np.array([1, 2, 3], np.int32), 16))
+    before = np.asarray(params["poses"])
+    params2, _, lossv, metrics = step_fn(params, opt_state, b, jax.random.PRNGKey(1),
+                                         jnp.asarray(0))
+    after = np.asarray(params2["poses"])
+    assert np.isfinite(float(lossv))
+    for f in range(3):  # all three in-window poses moved
+        assert np.abs(after[f] - before[f]).max() > 0
+    # quats still normalized
+    np.testing.assert_allclose(
+        np.linalg.norm(after[..., 3:7], axis=-1), 1.0, atol=1e-5
+    )
+
+
+def test_mixed_frame_pose_matches_shared_pose():
+    """A per-ray pose table where all rays share one frame must render
+    identically to the shared-pose path."""
+    from startrax.models.star import render_star
+
+    params = loop.init_online_params(jax.random.PRNGKey(3), CFG, num_frames=4)
+    b = _batch(n=16, with_frame=False)
+    pose_shared = loop.gather_frame_pose(params["poses"], jnp.asarray(2), CFG.num_vehicles)
+    frames = jnp.full((16,), 2, jnp.int32)
+    pose_perray = loop.gather_frame_pose(params["poses"], frames, CFG.num_vehicles)
+    assert pose_perray.shape == (16, CFG.num_vehicles, 7)
+    out_a = render_star(params["nerf"], CFG, b["rays_o"], b["rays_d"], key=None,
+                        pose=pose_shared, train=False)
+    out_b = render_star(params["nerf"], CFG, b["rays_o"], b["rays_d"], key=None,
+                        pose=pose_perray, train=False)
+    np.testing.assert_allclose(np.asarray(out_a["rgb"]), np.asarray(out_b["rgb"]),
+                               atol=1e-6)
+
+
 def test_gather_frame_pose_pins_frame0_identity():
     poses = jnp.asarray(np.random.default_rng(4).normal(size=(3, 2, 7)).astype(np.float32))
     p0 = loop.gather_frame_pose(poses, jnp.asarray(0), 2)
@@ -175,6 +223,40 @@ def test_checkpoint_roundtrip(tmp_path):
     want = jax.tree.leaves(params)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=0)
+
+
+def test_checkpoint_opt_state_resume(tmp_path):
+    """Full-resume contract: a restored optimizer state must keep its pytree
+    node types (optax NamedTuples, not plain dicts) and be steppable.
+    Regression test for the round-1 advisor finding: PyTreeRestore without an
+    item template returned dict nodes, crashing tx.update on resume."""
+    params = loop.init_online_params(jax.random.PRNGKey(5), CFG, num_frames=3)
+    tx = optim.make_fused_star_optimizer(
+        params, lrate_static=1e-3, lrate_dynamic=1e-3, lrate_pose=1e-3,
+        steps_per_epoch=4, grad_clip=1.0, accumulate_steps=2,
+    )
+    opt_state = tx.init(params)
+    # advance one step so the saved state has non-trivial counts/moments
+    g = jax.tree.map(jnp.ones_like, params)
+    updates, opt_state = tx.update(g, opt_state, params)
+    params = optax.apply_updates(params, updates)
+
+    state = {"params": params, "opt_state": opt_state}
+    ckpt.save_checkpoint(str(tmp_path / "ck"), state, step=1)
+    template = {
+        "params": loop.init_online_params(jax.random.PRNGKey(9), CFG, num_frames=3),
+        "opt_state": tx.init(params),
+    }
+    restored = ckpt.restore_checkpoint(str(tmp_path / "ck"), template)
+
+    # node types preserved: structure of restored state == freshly-init state
+    assert jax.tree.structure(restored["opt_state"]) == jax.tree.structure(tx.init(params))
+    # leaf values round-trip
+    for g_, w_ in zip(jax.tree.leaves(restored["opt_state"]), jax.tree.leaves(opt_state)):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(w_), atol=0)
+    # and the restored state is actually steppable (the resume crash path)
+    updates2, _ = tx.update(g, restored["opt_state"], restored["params"])
+    assert np.isfinite(np.asarray(jax.tree.leaves(updates2)[0])).all()
 
 
 def test_restore_static_only():
