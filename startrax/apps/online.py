@@ -189,10 +189,13 @@ def train(cfg: Config):
 
 
 def _validate(ws, cfg, params, star_cfg, val_data, gt_rel, rng, cur, step):
-    """Full val-view render + pose metrics (train_online__.py:488-652)."""
-    frame = int(rng.integers(cur.start_frame, cur.current_frame))
-    n_views = val_data.rays_o.shape[0]
-    view = int(rng.integers(0, n_views))
+    """Full val-view render + pose metrics (train_online__.py:488-652).
+
+    Fixed protocol: always the first val view at the newest admitted frame —
+    a deterministic gate (a random view/frame makes val PSNR too noisy to
+    compare across epochs)."""
+    frame = cur.current_frame - 1
+    view = 0
     rays_o, rays_d = val_data.view_rays(view)
     target = val_data.images[view, frame]
 
@@ -218,10 +221,46 @@ def _validate(ws, cfg, params, star_cfg, val_data, gt_rel, rng, cur, step):
     ws.log(f"val: psnr={p:.2f} ssim={s:.4f} trans_err={[f'{t:.4f}' for t in trans_err]}")
 
 
+def _frame_metrics(out, target, mask, num_vehicles, lpips_fn=None):
+    """Full / static-masked / dynamic-masked PSNR + SSIM (+ LPIPS when
+    weights are available) for one rendered frame — the reference's per-frame
+    test metric block (train_online__.py:663-725):
+
+    - psnr_dynamic / psnr_static: MSE of the FULL render vs target restricted
+      to (non-)vehicle pixels,
+    - ssim_dynamic / ssim_static: the full SSIM map mask-averaged,
+    - lpips: full render vs target; lpips_dynamic: rgb_dynamic_all vs target
+      with static pixels zeroed; lpips_static: both images with dynamic
+      pixels zeroed.
+    """
+    rgb = jnp.asarray(out["rgb"])
+    tgt = jnp.asarray(target)
+    row = {
+        "psnr": float(psnr_fn(rgb, tgt)),
+        "ssim": float(ssim_fn(rgb, tgt)),
+    }
+    if lpips_fn is not None:
+        row["lpips"] = float(lpips_fn(rgb, tgt))
+    if mask is None or not mask.any():
+        return row
+
+    m = jnp.asarray(mask)
+    row["psnr_dynamic"] = float(psnr_fn(rgb, tgt, mask=m))
+    row["psnr_static"] = float(psnr_fn(rgb, tgt, mask=~m))
+    row["ssim_dynamic"] = float(masked_ssim(rgb, tgt, m))
+    row["ssim_static"] = float(masked_ssim(rgb, tgt, ~m))
+    if lpips_fn is not None:
+        m3 = m[..., None].astype(rgb.dtype)
+        rgb_dyn_all = jnp.asarray(out["rgb_dynamic_all"])
+        row["lpips_dynamic"] = float(lpips_fn(rgb_dyn_all, tgt * m3))
+        row["lpips_static"] = float(lpips_fn(rgb * (1 - m3), tgt * (1 - m3)))
+    return row
+
+
 def test(cfg: Config):
     """Test protocol (train_online__.py:654-1005): per test view, render all
-    frames with learned poses; masked PSNR/SSIM; 2D/3D IoU; RPE/ATE; pose
-    trajectory export."""
+    frames with learned poses; full/static/dynamic-masked PSNR/SSIM (+LPIPS
+    when weights present); 2D/3D IoU; RPE/ATE; pose trajectory export."""
     ws = Workspace(cfg, "online_test")
     star_cfg = star_config_from(cfg)
     test_data = make_dataset(cfg, "test")
@@ -258,10 +297,21 @@ def test(cfg: Config):
         test_data.gt_vehicle_poses() if hasattr(test_data, "gt_vehicle_poses") else None
     )
 
+    # LPIPS is weight-gated: pretrained VGG16 weights can't ship in a
+    # hermetic image (reference loads them via torchmetrics,
+    # train_online__.py:1055-1062)
+    lpips_fn = None
+    if cfg.lpips_weights and os.path.exists(cfg.lpips_weights):
+        from ..eval.image import LPIPS
+
+        lpips_fn = LPIPS(cfg.lpips_weights)
+    elif cfg.lpips_weights:
+        ws.log(f"lpips_weights not found at {cfg.lpips_weights}; skipping LPIPS")
+
     n_views = test_data.rays_o.shape[0]
     for view in range(n_views):
         rays_o, rays_d = test_data.view_rays(view)
-        psnrs, ssims, psnrs_dyn, ious_2d = [], [], [], []
+        acc: dict = {}
         video_frames = []
         for frame in range(min(eval_last, test_data.images.shape[1])):
             pose = loop.gather_frame_pose(
@@ -272,8 +322,6 @@ def test(cfg: Config):
                 with_test_outputs=True,
             )
             target = test_data.images[view, frame]
-            psnrs.append(float(psnr_fn(jnp.asarray(out["rgb"]), jnp.asarray(target))))
-            ssims.append(float(ssim_fn(jnp.asarray(out["rgb"]), jnp.asarray(target))))
 
             sem = getattr(test_data, "semantic", None)
             if sem is not None:
@@ -282,14 +330,19 @@ def test(cfg: Config):
                 mask = test_data.data["dyn_masks"][view, frame]
             else:
                 mask = None
+
+            row = _frame_metrics(
+                out, target, mask, star_cfg.num_vehicles, lpips_fn=lpips_fn
+            )
             if mask is not None and mask.any():
-                psnrs_dyn.append(
-                    float(psnr_fn(jnp.asarray(out["rgb"]), jnp.asarray(target),
-                                  mask=jnp.asarray(mask)))
-                )
                 dt = out["dynamic_transmittance"].reshape(-1, star_cfg.num_vehicles)
-                iou2d, _ = iou_mod.compute_2d_iou(dt, mask.reshape(-1))
-                ious_2d.append(iou2d)
+                row["2d_iou"], _ = iou_mod.compute_2d_iou(dt, mask.reshape(-1))
+            for k, v in row.items():
+                acc.setdefault(k, []).append(v)
+            # one reference-shaped metrics row per frame
+            ws.metrics.log(
+                {f"test/view{view}_frame_{k}": v for k, v in row.items()}, frame
+            )
 
             if local_vertices is not None and gt_vehicle is not None and view == cfg.bbox_view:
                 # est vehicle->world(f) = inv(est_rel) @ inv(gt_pose0);
@@ -324,14 +377,7 @@ def test(cfg: Config):
                     duration=250, loop=0,
                 )
 
-        row = {
-            f"test/view{view}_psnr": float(np.mean(psnrs)),
-            f"test/view{view}_ssim": float(np.mean(ssims)),
-        }
-        if psnrs_dyn:
-            row[f"test/view{view}_psnr_dynamic"] = float(np.mean(psnrs_dyn))
-        if ious_2d:
-            row[f"test/view{view}_2d_iou"] = float(np.mean(ious_2d))
+        row = {f"test/view{view}_{k}": float(np.mean(vs)) for k, vs in acc.items()}
         ws.metrics.log(row, view)
         ws.log(" ".join(f"{k}={v:.4f}" for k, v in row.items()))
 

@@ -132,6 +132,9 @@ class Config:
     eval_last_frame: int = 0
     save_video_frames: bool = False
     render_test: bool = False
+    # LPIPS needs pretrained VGG16 weights (.npz; see
+    # scripts/convert_lpips_weights.py) — empty disables LPIPS metrics
+    lpips_weights: str = ""
 
     # logging cadence
     epoch_ckpt: int = 1

@@ -195,3 +195,35 @@ def test_online_pose_only_phases(tmp_path):
     params = online.train(cfg)
     q = np.asarray(params["poses"][..., 3:7])
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
+
+
+def test_frame_metrics_full_suite(tmp_path):
+    """_frame_metrics emits the reference-shaped per-frame metric row
+    (train_online__.py:663-725): full/static/dynamic PSNR+SSIM, and the three
+    LPIPS variants when weights are supplied."""
+    import numpy as np
+    import jax.numpy as jnp
+    from startrax.apps.online import _frame_metrics
+    from test_eval import _fake_lpips_weights
+
+    rng = np.random.default_rng(3)
+    H = W = 32
+    out = {
+        "rgb": rng.uniform(size=(H, W, 3)).astype(np.float32),
+        "rgb_dynamic_all": rng.uniform(size=(H, W, 3)).astype(np.float32),
+    }
+    target = rng.uniform(size=(H, W, 3)).astype(np.float32)
+    mask = np.zeros((H, W), bool)
+    mask[8:20, 8:20] = True
+
+    row = _frame_metrics(out, target, mask, num_vehicles=1, lpips_fn=None)
+    for k in ("psnr", "ssim", "psnr_static", "psnr_dynamic", "ssim_static",
+              "ssim_dynamic"):
+        assert k in row and np.isfinite(row[k]), k
+    assert "lpips" not in row
+
+    from startrax.eval.image import LPIPS
+    wpath = _fake_lpips_weights(str(tmp_path / "w.npz"), rng)
+    row = _frame_metrics(out, target, mask, num_vehicles=1, lpips_fn=LPIPS(wpath))
+    for k in ("lpips", "lpips_static", "lpips_dynamic"):
+        assert k in row and np.isfinite(row[k]), k

@@ -252,5 +252,12 @@ def test_online_test_protocol_on_carla(carla_dir, tmp_path):
     assert any(k.startswith("test/ate") for k in keys)
     assert any(k.startswith("test/3d_iou") for k in keys)
     assert any("psnr" in k for k in keys)
+    # reference-shaped masked metric suite (train_online__.py:663-725):
+    # full / static-masked / dynamic-masked PSNR and SSIM per view
+    for metric in ("psnr", "ssim", "psnr_static", "psnr_dynamic",
+                   "ssim_static", "ssim_dynamic", "2d_iou"):
+        assert f"test/view0_{metric}" in keys, f"missing test/view0_{metric}"
+    # and a per-frame metrics row exists
+    assert any(k.startswith("test/view0_frame_psnr") for k in keys)
     assert (run_dir / "poses_vehicle0.txt").exists()
     assert (run_dir / "view0.mp4").exists() or (run_dir / "view0.gif").exists()

@@ -56,6 +56,34 @@ def test_lpips_gated_without_weights():
         image.lpips(jnp.zeros((8, 8, 3)), jnp.zeros((8, 8, 3)))
 
 
+def _fake_lpips_weights(path, rng, scale=0.1):
+    """Random weights in the exact .npz schema scripts/convert_lpips_weights.py
+    produces (13 VGG16 convs OIHW + 5 linear heads)."""
+    chans = [3, 64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    out = {}
+    for i in range(13):
+        out[f"w{i}"] = rng.normal(size=(chans[i + 1], chans[i], 3, 3)).astype(np.float32) * scale
+        out[f"b{i}"] = np.zeros(chans[i + 1], np.float32)
+    for s, c in enumerate([64, 128, 256, 512, 512]):
+        out[f"lin{s}"] = np.full(c, 1.0 / c, np.float32)
+    np.savez(path, **out)
+    return path
+
+
+def test_lpips_network_with_weights(tmp_path):
+    """The JAX LPIPS network runs end-to-end given a weights file: zero for
+    identical images, positive and increasing with perturbation size."""
+    rng = np.random.default_rng(0)
+    wpath = _fake_lpips_weights(str(tmp_path / "lpips.npz"), rng)
+    fn = image.LPIPS(wpath)
+    img = jnp.asarray(rng.uniform(size=(32, 32, 3)).astype(np.float32))
+    same = float(fn(img, img))
+    assert same == pytest.approx(0.0, abs=1e-6)
+    small = float(fn(img, jnp.clip(img + 0.05, 0, 1)))
+    large = float(fn(img, jnp.clip(img + 0.3, 0, 1)))
+    assert 0 < small < large
+
+
 # ------------------------------ pose --------------------------------------
 
 
