@@ -33,10 +33,13 @@ def mip_config_from(cfg: Config) -> mip.MipConfig:
         num_vehicles=cfg.num_vehicles,
         depth=cfg.netdepth,
         width=cfg.netwidth,
+        num_freqs_pos=cfg.num_freqs_pos,
+        num_freqs_dir=cfg.num_freqs_dir,
         n_samples=cfg.N_samples,
         n_importance=cfg.N_importance,
         near=cfg.near * scale,
         far=cfg.far * scale,
+        base_radius=cfg.mip_base_radius,
         compute_dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32,
     )
 
@@ -125,6 +128,8 @@ def train_online(cfg: Config):
     mcfg = mip_config_from(cfg)
     loss_cfg = loss_config_from(cfg)
     train_data = make_dataset(cfg, "train")
+    val_data = make_dataset(cfg, "val")
+    gt_rel = np.swapaxes(train_data.gt_relative_poses(), 0, 1)  # [F, K, 7]
     rng, key = host_prng(1453)
 
     from ..ops import lie
@@ -188,11 +193,23 @@ def train_online(cfg: Config):
             fine_losses.append(metrics["fine_loss"])
         avg = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
         cur = advance(cur, cur_cfg, avg)
+
+        # pose metrics every epoch (reference train_online_mip.py logs pose
+        # trans/rot errors at val; here they are cheap host math)
+        from ..eval.pose import get_pose_metrics_multi
+
+        trans_err, rot_err, *_ = get_pose_metrics_multi(
+            np.asarray(params["poses"]), gt_rel[1:]
+        )
         ws.metrics.log(
             {"train/fine_loss": avg, "train/current_frame_num": cur.current_frame,
-             "epoch": epoch},
+             "epoch": epoch,
+             **{f"train/trans_error_{k}": float(v) for k, v in enumerate(trans_err)},
+             **{f"train/rot_error_{k}": float(v) for k, v in enumerate(rot_err)}},
             step,
         )
+        if (epoch + 1) % cfg.epoch_val == 0:
+            _validate_mip(ws, cfg, mcfg, params, val_data, cur, step)
         if (epoch + 1) % cfg.epoch_ckpt == 0:
             ckpt.save_checkpoint(
                 ws.ckpt_dir,
@@ -204,11 +221,59 @@ def train_online(cfg: Config):
     return params
 
 
+def _validate_mip(ws, cfg, mcfg, params, val_data, cur, step):
+    """Fixed-view val render with PSNR/SSIM (train_online_mip.py val loop)."""
+    from ..eval.image import psnr as psnr_fn, ssim as ssim_fn
+    from ..eval.render import render_image_mip
+
+    frame = cur.current_frame - 1
+    rays_o, rays_d = val_data.view_rays(0)
+    target = val_data.images[0, frame]
+    pose = loop.gather_frame_pose(params["poses"], jnp.asarray(frame), mcfg.num_vehicles)
+    out = render_image_mip(params["nerf"], mcfg, rays_o, rays_d, pose=pose)
+    p = float(psnr_fn(jnp.asarray(out["rgb"]), jnp.asarray(target)))
+    s = float(ssim_fn(jnp.asarray(out["rgb"]), jnp.asarray(target)))
+    ws.metrics.log({"val/psnr": p, "val/ssim": s}, step)
+    ws.metrics.log_image("val/rgb", out["rgb"], step)
+    ws.log(f"val: psnr={p:.2f} ssim={s:.4f}")
+
+
+def test(cfg: Config):
+    """Mip test protocol: the shared run_test_protocol over the IPE renderer
+    (reference train_online_mip.py test path)."""
+    from ..eval.render import render_image_mip
+    from .test_protocol import run_test_protocol
+
+    ws = Workspace(cfg, "mip_test")
+    mcfg = mip_config_from(cfg)
+    test_data = make_dataset(cfg, "test")
+
+    from ..ops import lie
+
+    rng, key = host_prng(1453)
+    params = {
+        "nerf": mip.init_star_mip(key, mcfg),
+        "poses": lie.se3_identity(cfg.num_frames - 1, mcfg.num_vehicles),
+    }
+    restored = ckpt.restore_checkpoint(cfg.online_ckpt_path, None)
+    params = restored["params"] if "params" in restored else restored
+
+    def render_frame(pose, rays_o, rays_d):
+        return render_image_mip(
+            params["nerf"], mcfg, rays_o, rays_d, pose=pose, with_test_outputs=True,
+        )
+
+    run_test_protocol(
+        ws, cfg, mcfg.num_vehicles, np.asarray(params["poses"]),
+        test_data, render_frame,
+    )
+
+
 def main(argv=None):
     cfg = load_config(argv)
     if cfg.test:
-        raise NotImplementedError("use startrax.apps.online-style eval with the mip model")
-    if cfg.skip_appearance_init or cfg.appearance_ckpt_path:
+        test(cfg)
+    elif cfg.skip_appearance_init or cfg.appearance_ckpt_path:
         train_online(cfg)
     else:
         train_app_init(cfg)

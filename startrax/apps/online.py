@@ -23,17 +23,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..eval import iou as iou_mod
 from ..eval import pose as pose_mod
-from ..eval import trajectory as traj_mod
-from ..eval.image import psnr as psnr_fn, ssim as ssim_fn, masked_ssim
+from ..eval.image import psnr as psnr_fn, ssim as ssim_fn
 from ..eval.render import render_image
-from ..ops import lie
 from ..train import checkpoint as ckpt
 from ..train import loop, optim
 from ..train.curriculum import CurriculumConfig, CurriculumState, advance
 from ..utils.config import Config, load_config, star_config_from, loss_config_from
 from .common import Workspace, make_dataset, host_prng
+from .test_protocol import frame_metrics, run_test_protocol
 
 
 
@@ -221,165 +219,35 @@ def _validate(ws, cfg, params, star_cfg, val_data, gt_rel, rng, cur, step):
     ws.log(f"val: psnr={p:.2f} ssim={s:.4f} trans_err={[f'{t:.4f}' for t in trans_err]}")
 
 
-def _frame_metrics(out, target, mask, num_vehicles, lpips_fn=None):
-    """Full / static-masked / dynamic-masked PSNR + SSIM (+ LPIPS when
-    weights are available) for one rendered frame — the reference's per-frame
-    test metric block (train_online__.py:663-725):
-
-    - psnr_dynamic / psnr_static: MSE of the FULL render vs target restricted
-      to (non-)vehicle pixels,
-    - ssim_dynamic / ssim_static: the full SSIM map mask-averaged,
-    - lpips: full render vs target; lpips_dynamic: rgb_dynamic_all vs target
-      with static pixels zeroed; lpips_static: both images with dynamic
-      pixels zeroed.
-    """
-    rgb = jnp.asarray(out["rgb"])
-    tgt = jnp.asarray(target)
-    row = {
-        "psnr": float(psnr_fn(rgb, tgt)),
-        "ssim": float(ssim_fn(rgb, tgt)),
-    }
-    if lpips_fn is not None:
-        row["lpips"] = float(lpips_fn(rgb, tgt))
-    if mask is None or not mask.any():
-        return row
-
-    m = jnp.asarray(mask)
-    row["psnr_dynamic"] = float(psnr_fn(rgb, tgt, mask=m))
-    row["psnr_static"] = float(psnr_fn(rgb, tgt, mask=~m))
-    row["ssim_dynamic"] = float(masked_ssim(rgb, tgt, m))
-    row["ssim_static"] = float(masked_ssim(rgb, tgt, ~m))
-    if lpips_fn is not None:
-        m3 = m[..., None].astype(rgb.dtype)
-        rgb_dyn_all = jnp.asarray(out["rgb_dynamic_all"])
-        row["lpips_dynamic"] = float(lpips_fn(rgb_dyn_all, tgt * m3))
-        row["lpips_static"] = float(lpips_fn(rgb * (1 - m3), tgt * (1 - m3)))
-    return row
+# re-exported for backwards compatibility (shared protocol lives in
+# apps/test_protocol.py)
+_frame_metrics = frame_metrics
 
 
 def test(cfg: Config):
-    """Test protocol (train_online__.py:654-1005): per test view, render all
-    frames with learned poses; full/static/dynamic-masked PSNR/SSIM (+LPIPS
-    when weights present); 2D/3D IoU; RPE/ATE; pose trajectory export."""
+    """Test protocol (train_online__.py:654-1005) over the vanilla STaR
+    renderer — see apps/test_protocol.run_test_protocol for the shared
+    implementation (pose export, RPE/ATE, masked metric suite, IoU, video)."""
     ws = Workspace(cfg, "online_test")
     star_cfg = star_config_from(cfg)
     test_data = make_dataset(cfg, "test")
-    gt_rel = np.swapaxes(test_data.gt_relative_poses(), 0, 1)  # [F, K, 7]
 
     rng, key = host_prng(1453)
     params = loop.init_online_params(key, star_cfg, cfg.num_frames)
-    template = {"params": params}
     restored = ckpt.restore_checkpoint(cfg.online_ckpt_path, None)
     params = restored["params"] if "params" in restored else restored
 
-    eval_last = cfg.eval_last_frame or cfg.num_frames
-    est_all = np.asarray(params["poses"])  # [F-1, K, 7]
+    def render_frame(pose, rays_o, rays_d):
+        return render_image(
+            params["nerf"], star_cfg, rays_o, rays_d, pose=pose,
+            with_test_outputs=True,
+        )
 
-    # pose trajectory export x100 (utils/io.py:497-519)
-    for k in range(star_cfg.num_vehicles):
-        mats = np.asarray(lie.se3_to_matrix(jnp.asarray(est_all[:, k])))
-        ckpt.save_poses_txt(os.path.join(ws.run_dir, f"poses_vehicle{k}.txt"), mats)
-
-    # trajectory metrics per vehicle
-    for k in range(star_cfg.num_vehicles):
-        est_traj = np.concatenate([np.asarray(lie.se3_identity(1, 1))[:, 0], est_all[:, k]])[:eval_last]
-        gt_traj = gt_rel[:eval_last, k]
-        rpe_t, rpe_r = traj_mod.evaluate_rpe(est_traj, gt_traj)
-        ate = traj_mod.evaluate_ate(est_traj, gt_traj)
-        ws.metrics.log({f"test/rpe_trans_{k}": rpe_t, f"test/rpe_rot_{k}": rpe_r,
-                        f"test/ate_{k}": ate}, 0)
-        ws.log(f"vehicle {k}: RPE trans={rpe_t:.5f} rot={rpe_r:.3f}deg ATE={ate:.5f}")
-
-    local_vertices = (
-        test_data.bbox_local_vertices() if hasattr(test_data, "bbox_local_vertices") else None
-    )
-    gt_vehicle = (
-        test_data.gt_vehicle_poses() if hasattr(test_data, "gt_vehicle_poses") else None
+    run_test_protocol(
+        ws, cfg, star_cfg.num_vehicles, np.asarray(params["poses"]),
+        test_data, render_frame,
     )
 
-    # LPIPS is weight-gated: pretrained VGG16 weights can't ship in a
-    # hermetic image (reference loads them via torchmetrics,
-    # train_online__.py:1055-1062)
-    lpips_fn = None
-    if cfg.lpips_weights and os.path.exists(cfg.lpips_weights):
-        from ..eval.image import LPIPS
-
-        lpips_fn = LPIPS(cfg.lpips_weights)
-    elif cfg.lpips_weights:
-        ws.log(f"lpips_weights not found at {cfg.lpips_weights}; skipping LPIPS")
-
-    n_views = test_data.rays_o.shape[0]
-    for view in range(n_views):
-        rays_o, rays_d = test_data.view_rays(view)
-        acc: dict = {}
-        video_frames = []
-        for frame in range(min(eval_last, test_data.images.shape[1])):
-            pose = loop.gather_frame_pose(
-                params["poses"], jnp.asarray(frame), star_cfg.num_vehicles
-            )
-            out = render_image(
-                params["nerf"], star_cfg, rays_o, rays_d, pose=pose,
-                with_test_outputs=True,
-            )
-            target = test_data.images[view, frame]
-
-            sem = getattr(test_data, "semantic", None)
-            if sem is not None:
-                mask = sem[view, frame] == 10
-            elif hasattr(test_data, "data"):
-                mask = test_data.data["dyn_masks"][view, frame]
-            else:
-                mask = None
-
-            row = _frame_metrics(
-                out, target, mask, star_cfg.num_vehicles, lpips_fn=lpips_fn
-            )
-            if mask is not None and mask.any():
-                dt = out["dynamic_transmittance"].reshape(-1, star_cfg.num_vehicles)
-                row["2d_iou"], _ = iou_mod.compute_2d_iou(dt, mask.reshape(-1))
-            for k, v in row.items():
-                acc.setdefault(k, []).append(v)
-            # one reference-shaped metrics row per frame
-            ws.metrics.log(
-                {f"test/view{view}_frame_{k}": v for k, v in row.items()}, frame
-            )
-
-            if local_vertices is not None and gt_vehicle is not None and view == cfg.bbox_view:
-                # est vehicle->world(f) = inv(est_rel) @ inv(gt_pose0);
-                # gt vehicle->world(f) = inv(gt_pose_f)
-                # (reference utils/test.py:114-121)
-                est_rel_inv = np.asarray(lie.se3_to_matrix(lie.se3_inverse(pose)))
-                gt_pose0_inv = np.linalg.inv(gt_vehicle[:, 0])
-                est_v2w = np.einsum("vki,vij->vkj", est_rel_inv, gt_pose0_inv)
-                gt_v2w = np.linalg.inv(gt_vehicle[:, frame])
-                ious3d, _, _ = iou_mod.compute_3d_iou(est_v2w, gt_v2w, local_vertices)
-                ws.metrics.log(
-                    {f"test/3d_iou_{k}": float(v) for k, v in enumerate(ious3d)}, frame
-                )
-
-            ws.metrics.log_image(f"test/view{view}_rgb", out["rgb"], frame)
-            video_frames.append(
-                (255 * np.clip(np.nan_to_num(out["rgb"]), 0, 1)).astype(np.uint8)
-            )
-
-        if cfg.save_video_frames and video_frames:
-            # per-view tracking video (reference video export,
-            # train_online__.py test_step); gif fallback when no ffmpeg backend
-            import imageio.v2 as imageio
-
-            try:
-                imageio.mimwrite(
-                    os.path.join(ws.run_dir, f"view{view}.mp4"), video_frames, fps=4
-                )
-            except (ValueError, ImportError):
-                imageio.mimwrite(
-                    os.path.join(ws.run_dir, f"view{view}.gif"), video_frames,
-                    duration=250, loop=0,
-                )
-
-        row = {f"test/view{view}_{k}": float(np.mean(vs)) for k, vs in acc.items()}
-        ws.metrics.log(row, view)
-        ws.log(" ".join(f"{k}={v:.4f}" for k, v in row.items()))
 
 
 def main(argv=None):

@@ -35,24 +35,15 @@ def _tile_renderer(cfg: StarConfig, with_test_outputs: bool, has_pose: bool):
     return jax.jit(tile_render)
 
 
-def render_image(
-    params,
-    cfg: StarConfig,
-    rays_o,
-    rays_d,
-    pose=None,
-    tile: int = 8192,
-    mesh=None,
-    with_test_outputs: bool = False,
-    keys=("rgb", "depth", "rgb0", "depth0", "rgb_static", "rgb_dynamic",
-          "depth_static", "depth_dynamic", "dynamic_transmittance",
-          "rgb_dynamic_all", "acc", "disp"),
-) -> Dict[str, np.ndarray]:
-    """Render H*W rays in fixed-size tiles; returns host arrays [H, W, ...].
+DEFAULT_KEYS = ("rgb", "depth", "rgb0", "depth0", "rgb_static", "rgb_dynamic",
+                "depth_static", "depth_dynamic", "dynamic_transmittance",
+                "rgb_dynamic_all", "acc", "disp")
 
-    rays_o/rays_d: [H, W, 3]. Missing keys (e.g. dynamic maps in appearance
-    init) are skipped.
-    """
+
+def _render_tiles(tile_render, params, rays_o, rays_d, pose, tile, keys, mesh):
+    """Shared tiling loop: render H*W rays in fixed-size tiles with one
+    batched device->host transfer per tile (per-key fetches each pay the full
+    relay round trip on tunneled backends)."""
     H, W = rays_o.shape[:2]
     n = H * W
     ro = np.asarray(rays_o).reshape(n, 3)
@@ -64,8 +55,6 @@ def render_image(
         ro = np.concatenate([ro, np.repeat(ro[-1:], pad, 0)], axis=0)
         rd = np.concatenate([rd, np.repeat(rd[-1:], pad, 0)], axis=0)
 
-    tile_render = _tile_renderer(cfg, with_test_outputs, pose is not None)
-
     chunks: Dict[str, list] = {}
     for i in range(0, n_pad, tile):
         o = jnp.asarray(ro[i : i + tile])
@@ -75,8 +64,6 @@ def render_image(
             o = jax.device_put(o, sh)
             d = jax.device_put(d, sh)
         out = tile_render(params, o, d, pose)
-        # one batched device->host transfer per tile (per-key fetches each pay
-        # the full relay round trip on tunneled backends)
         host_out = jax.device_get(
             {k: out[k] for k in keys if k in out and out[k] is not None}
         )
@@ -88,3 +75,53 @@ def render_image(
         arr = np.concatenate(parts, axis=0)[:n]
         result[k] = arr.reshape((H, W) + arr.shape[1:])
     return result
+
+
+def render_image(
+    params,
+    cfg: StarConfig,
+    rays_o,
+    rays_d,
+    pose=None,
+    tile: int = 8192,
+    mesh=None,
+    with_test_outputs: bool = False,
+    keys=DEFAULT_KEYS,
+) -> Dict[str, np.ndarray]:
+    """Render H*W rays in fixed-size tiles; returns host arrays [H, W, ...].
+
+    rays_o/rays_d: [H, W, 3]. Missing keys (e.g. dynamic maps in appearance
+    init) are skipped.
+    """
+    tile_render = _tile_renderer(cfg, with_test_outputs, pose is not None)
+    return _render_tiles(tile_render, params, rays_o, rays_d, pose, tile, keys, mesh)
+
+
+@lru_cache(maxsize=32)
+def _mip_tile_renderer(cfg, with_test_outputs: bool):
+    from ..models.mip import render_star_mip
+
+    def tile_render(params, o, d, pose):
+        return render_star_mip(
+            params, cfg, o, d, key=None, pose=pose, train=False,
+            with_test_outputs=with_test_outputs,
+        )
+
+    return jax.jit(tile_render)
+
+
+def render_image_mip(
+    params,
+    cfg,
+    rays_o,
+    rays_d,
+    pose=None,
+    tile: int = 8192,
+    mesh=None,
+    with_test_outputs: bool = False,
+    keys=DEFAULT_KEYS,
+) -> Dict[str, np.ndarray]:
+    """render_image for the mip (IPE) variant; cfg is a models.mip.MipConfig
+    (counterpart of the reference's mip eval render, train_online_mip.py)."""
+    tile_render = _mip_tile_renderer(cfg, with_test_outputs)
+    return _render_tiles(tile_render, params, rays_o, rays_d, pose, tile, keys, mesh)

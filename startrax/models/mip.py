@@ -48,7 +48,9 @@ class MipConfig:
     num_vehicles: int = 1
     depth: int = 8
     width: int = 256
-    num_freqs_pos: int = 16
+    # reference nerfstudio NeRFEncoding: 24 position / 4 direction
+    # frequencies (models/mipnerf.py:58-70)
+    num_freqs_pos: int = 24
     num_freqs_dir: int = 4
     n_samples: int = 128
     n_importance: int = 128

@@ -120,6 +120,11 @@ class Config:
     precrop_iters: int = -1
     precrop_frac: float = 0.5
 
+    # mip (IPE) variant encoding (reference models/mipnerf.py:58-70)
+    num_freqs_pos: int = 24
+    num_freqs_dir: int = 4
+    mip_base_radius: float = 0.0005
+
     # occupancy grid (nerfacc-equivalent path)
     grid_resolution: int = 128
     grid_nlvl: int = 1

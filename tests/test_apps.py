@@ -227,3 +227,55 @@ def test_frame_metrics_full_suite(tmp_path):
     row = _frame_metrics(out, target, mask, num_vehicles=1, lpips_fn=LPIPS(wpath))
     for k in ("lpips", "lpips_static", "lpips_dynamic"):
         assert k in row and np.isfinite(row[k]), k
+
+
+def test_mip_online_smoke_with_pose_metrics(tmp_path):
+    """Mip online training logs pose trans/rot errors and renders a val view
+    (reference train_online_mip.py val loop)."""
+    import numpy as np
+    from startrax.apps import mip as mip_app
+
+    cfg = _tiny_synthetic_cfg(
+        tmp_path, epochs_online=1, online_thres=1e-12, noisy_pose_init=True,
+        skip_appearance_init=True, epoch_val=1, num_freqs_pos=4, num_freqs_dir=2,
+    )
+    params = mip_app.train_online(cfg)
+    q = np.asarray(params["poses"][..., 3:7])
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
+    rows = [json.loads(l) for l in open(tmp_path / "smoke" / "mip_online" / "metrics.jsonl")]
+    keys = set().union(*[set(r) for r in rows])
+    assert "train/trans_error_0" in keys and "train/rot_error_0" in keys
+    assert "val/psnr" in keys
+
+
+def test_mip_test_mode(tmp_path):
+    """Mip test mode runs the shared protocol (masked metric suite, RPE/ATE,
+    pose export) over the IPE renderer."""
+    import jax
+    import numpy as np
+    from startrax.apps import mip as mip_app
+    from startrax.models import mip as mip_mod
+    from startrax.ops import lie
+    from startrax.train import checkpoint as ckpt
+
+    cfg = _tiny_synthetic_cfg(
+        tmp_path, test=True, eval_last_frame=2, num_freqs_pos=4, num_freqs_dir=2,
+        online_ckpt_path=str(tmp_path / "ck"),
+    )
+    mcfg = mip_app.mip_config_from(cfg)
+    params = {
+        "nerf": mip_mod.init_star_mip(jax.random.PRNGKey(0), mcfg),
+        "poses": lie.se3_identity(cfg.num_frames - 1, 1),
+    }
+    ckpt.save_checkpoint(str(tmp_path / "ck"), {"params": params}, step=0)
+
+    mip_app.test(cfg)
+
+    run_dir = tmp_path / "smoke" / "mip_test"
+    rows = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]
+    keys = set().union(*[set(r) for r in rows])
+    for metric in ("psnr", "ssim", "psnr_static", "psnr_dynamic",
+                   "ssim_static", "ssim_dynamic", "2d_iou"):
+        assert f"test/view0_{metric}" in keys, f"missing {metric}"
+    assert any(k.startswith("test/rpe_trans") for k in keys)
+    assert (run_dir / "poses_vehicle0.txt").exists()
