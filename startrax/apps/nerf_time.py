@@ -29,6 +29,7 @@ def train(cfg: Config):
     loss_cfg = loss_config_from(cfg)
 
     train_data = make_dataset(cfg, "train")
+    val_data = make_dataset(cfg, "val")
 
     rng, key = host_prng(42)
     params = nt.init_nerf_time(key, star_cfg)
@@ -70,6 +71,8 @@ def train(cfg: Config):
         avg = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
         ws.metrics.log({"train/fine_loss": avg, "epoch": epoch}, step)
         ws.log(f"epoch {epoch}: fine_loss={avg:.6f}")
+        if (epoch + 1) % cfg.epoch_val == 0:
+            _validate(ws, cfg, star_cfg, params, val_data, step)
         if (epoch + 1) % cfg.epoch_ckpt == 0:
             ckpt.save_checkpoint(ws.ckpt_dir, {"params": params}, step=epoch)
         if avg <= cfg.online_thres:
@@ -77,8 +80,71 @@ def train(cfg: Config):
     return params
 
 
+def _validate(ws, cfg, star_cfg, params, val_data, step):
+    """Fixed-view val render with PSNR/SSIM (reference
+    train_nerf_time.py:147-170; LPIPS there is weight-gated here)."""
+    from ..eval.image import ssim as ssim_fn
+    from ..eval.render import render_image_nerf_time
+
+    frame = cfg.num_frames - 1
+    rays_o, rays_d = val_data.view_rays(0)
+    target = val_data.images[0, frame]
+    out = render_image_nerf_time(
+        params, star_cfg, rays_o, rays_d, frame=frame, num_frames=cfg.num_frames
+    )
+    p = float(psnr_fn(jnp.asarray(out["rgb"]), jnp.asarray(target)))
+    s = float(ssim_fn(jnp.asarray(out["rgb"]), jnp.asarray(target)))
+    ws.metrics.log({"val/psnr": p, "val/ssim": s}, step)
+    ws.metrics.log_image("val/rgb", out["rgb"], step)
+    ws.log(f"val: psnr={p:.2f} ssim={s:.4f}")
+
+
+def test(cfg: Config):
+    """Baseline test protocol (reference train_nerf_time.py:205-270): per
+    test view, render every frame and compute the full/static/dynamic masked
+    PSNR/SSIM (+gated LPIPS) suite — so STaR's decomposition can be compared
+    against the no-decomposition baseline on identical metrics."""
+    from ..eval.render import render_image_nerf_time
+    from .test_protocol import dynamic_mask_for, frame_metrics, make_lpips
+
+    ws = Workspace(cfg, "nerf_time_test")
+    star_cfg = star_config_from(cfg)
+    test_data = make_dataset(cfg, "test")
+
+    restored = ckpt.restore_checkpoint(cfg.online_ckpt_path, None)
+    params = restored["params"] if "params" in restored else restored
+
+    lpips_fn = make_lpips(cfg, ws)
+    eval_last = cfg.eval_last_frame or cfg.num_frames
+    n_views = test_data.rays_o.shape[0]
+    for view in range(n_views):
+        rays_o, rays_d = test_data.view_rays(view)
+        acc: dict = {}
+        for frame in range(min(eval_last, test_data.images.shape[1])):
+            out = render_image_nerf_time(
+                params, star_cfg, rays_o, rays_d, frame=frame,
+                num_frames=cfg.num_frames,
+            )
+            target = test_data.images[view, frame]
+            mask = dynamic_mask_for(test_data, view, frame)
+            row = frame_metrics(out, target, mask, 0, lpips_fn=lpips_fn)
+            for k, v in row.items():
+                acc.setdefault(k, []).append(v)
+            ws.metrics.log(
+                {f"test/view{view}_frame_{k}": v for k, v in row.items()}, frame
+            )
+            ws.metrics.log_image(f"test/view{view}_rgb", out["rgb"], frame)
+        row = {f"test/view{view}_{k}": float(np.mean(vs)) for k, vs in acc.items()}
+        ws.metrics.log(row, view)
+        ws.log(" ".join(f"{k}={v:.4f}" for k, v in row.items()))
+
+
 def main(argv=None):
-    train(load_config(argv))
+    cfg = load_config(argv)
+    if cfg.test:
+        test(cfg)
+    else:
+        train(cfg)
 
 
 if __name__ == "__main__":

@@ -98,6 +98,39 @@ def render_image(
 
 
 @lru_cache(maxsize=32)
+def _nerf_time_tile_renderer(cfg, num_frames: int):
+    from ..models.nerf_time import render_nerf_time
+
+    def tile_render(params, o, d, frame):
+        return render_nerf_time(
+            params, cfg, o, d, frame=frame, num_frames=num_frames,
+            key=None, train=False,
+        )
+
+    return jax.jit(tile_render)
+
+
+def render_image_nerf_time(
+    params,
+    cfg: StarConfig,
+    rays_o,
+    rays_d,
+    frame,
+    num_frames: int,
+    tile: int = 8192,
+    mesh=None,
+    keys=DEFAULT_KEYS,
+) -> Dict[str, np.ndarray]:
+    """render_image for the time-conditioned baseline (reference
+    train_nerf_time.py val/test renders); `frame` is a traced scalar so all
+    frames share one compiled graph."""
+    tile_render = _nerf_time_tile_renderer(cfg, num_frames)
+    return _render_tiles(
+        tile_render, params, rays_o, rays_d, jnp.asarray(frame), tile, keys, mesh
+    )
+
+
+@lru_cache(maxsize=32)
 def _mip_tile_renderer(cfg, with_test_outputs: bool):
     from ..models.mip import render_star_mip
 

@@ -279,3 +279,31 @@ def test_mip_test_mode(tmp_path):
         assert f"test/view0_{metric}" in keys, f"missing {metric}"
     assert any(k.startswith("test/rpe_trans") for k in keys)
     assert (run_dir / "poses_vehicle0.txt").exists()
+
+
+def test_nerf_time_val_and_test(tmp_path):
+    """The baseline now has val + test loops (reference train_nerf_time.py),
+    emitting the same masked metric suite as STaR so the two are comparable."""
+    import jax
+    from startrax.apps import nerf_time
+    from startrax.models import nerf_time as nt_mod
+    from startrax.train import checkpoint as ckpt
+    from startrax.utils.config import star_config_from
+
+    cfg = _tiny_synthetic_cfg(tmp_path, epochs_online=1, online_thres=1e-12,
+                              epoch_val=1)
+    nerf_time.train(cfg)
+    rows = [json.loads(l) for l in open(tmp_path / "smoke" / "nerf_time" / "metrics.jsonl")]
+    keys = set().union(*[set(r) for r in rows])
+    assert "val/psnr" in keys and "val/ssim" in keys
+
+    params = nt_mod.init_nerf_time(jax.random.PRNGKey(0), star_config_from(cfg))
+    ckpt.save_checkpoint(str(tmp_path / "ck"), {"params": params}, step=0)
+    cfg_t = _tiny_synthetic_cfg(tmp_path, test=True, eval_last_frame=2,
+                                online_ckpt_path=str(tmp_path / "ck"))
+    nerf_time.test(cfg_t)
+    rows = [json.loads(l) for l in open(tmp_path / "smoke" / "nerf_time_test" / "metrics.jsonl")]
+    keys = set().union(*[set(r) for r in rows])
+    for metric in ("psnr", "ssim", "psnr_static", "psnr_dynamic",
+                   "ssim_static", "ssim_dynamic"):
+        assert f"test/view0_{metric}" in keys, f"missing {metric}"
