@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from startrax.data.prefetch import BatchPrefetcher
 from startrax.data.synthetic import SyntheticAdapter, SyntheticScene
 from startrax.eval.image import psnr as psnr_fn, ssim as ssim_fn
 from startrax.eval.pose import get_pose_metrics_multi
@@ -63,6 +64,13 @@ def main():
     ap.add_argument("--samples", type=int, default=64,
                     help="coarse/fine sample count per ray")
     ap.add_argument("--steps_per_epoch", type=int, default=500)
+    ap.add_argument("--appinit_minutes", type=float, default=0.0,
+                    help="appearance-init budget (default: min(0.35*minutes, 35))")
+    ap.add_argument("--target_pose_err", type=float, default=0.008,
+                    help="stop once every vehicle's trans AND rot error is "
+                         "below this (curriculum must be complete)")
+    ap.add_argument("--ckpt_every", type=int, default=10,
+                    help="save a checkpoint + history every N online epochs")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -92,21 +100,29 @@ def main():
     opt_state = tx.init(params)
     step_fn = loop.make_appinit_train_step(cfg, loop.LossConfig(), tx)
 
-    appinit_budget = min(args.minutes * 60 * 0.35, deadline - time.time())
+    appinit_budget = args.appinit_minutes * 60 or min(args.minutes * 60 * 0.35, 35 * 60)
+    appinit_budget = min(appinit_budget, deadline - time.time())
     t0 = time.time()
     step = 0
     timer = StepTimer(sync_every=100)
-    while time.time() - t0 < appinit_budget:
-        batch = {k: jnp.asarray(v) for k, v in data.sample_batch(rng, n_rand, frame=0).items()}
+    recent_fine = 1.0
+    pf_init = BatchPrefetcher(
+        lambda r, st: data.sample_batch(r, n_rand, frame=0),
+        {}, seed=1000, depth=6, workers=2)
+    while time.time() - t0 < appinit_budget and recent_fine > 2e-6:
+        batch = {k: jnp.asarray(v) for k, v in next(pf_init).items()}
         key, sub = jax.random.split(key)
         params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
         timer.tick(lossv, n_rand)
         step += 1
         if step % 500 == 0:
+            recent_fine = float(metrics["fine_loss"])
             print(f"appinit step {step}: fine={float(metrics['fine_loss']):.5f} "
                   f"psnr={float(metrics['psnr']):.2f} rays/s={timer.rays_per_sec:.0f}",
                   flush=True)
     appinit_steps, appinit_fine = step, float(metrics["fine_loss"])
+
+    pf_init.close()
 
     # static val render
     rays_o, rays_d = data.view_rays(0)
@@ -172,17 +188,19 @@ def main():
     polish_start = None  # wall-clock when the polish stage began
     mixed = bool(args.mixed_frames)
 
+    sample_state = {"start": 0, "end": 1, "car": args.car_ratio}
+    pf = BatchPrefetcher(
+        lambda r, st: data.sample_batch(
+            r, n_rand, start_frame=st["start"], current_frame=st["end"],
+            mixed_frames=mixed, car_sample_ratio=st["car"]),
+        sample_state, seed=2000, depth=6, workers=2)
+
     def run_epoch(step_fn, opt_st, car_ratio, epoch_idx):
+        sample_state.update(
+            start=cur.start_frame, end=cur.current_frame, car=car_ratio)
         fines = []
         for _ in range(spe):
-            batch = {
-                k: jnp.asarray(v)
-                for k, v in data.sample_batch(
-                    rng, n_rand, start_frame=cur.start_frame,
-                    current_frame=cur.current_frame,
-                    mixed_frames=mixed, car_sample_ratio=car_ratio,
-                ).items()
-            }
+            batch = {k: jnp.asarray(v) for k, v in next(pf).items()}
             nonlocal key
             key, sub = jax.random.split(key)
             p, opt_st, lossv, metrics = step_fn(
@@ -206,6 +224,7 @@ def main():
             pose_only = args.pose_only_every > 0 and epoch > 0 and (
                 epoch % args.pose_only_every == 0)
 
+        ep_t0 = time.time()
         if in_polish and pose_only:
             opt_polish, avg = run_epoch(ostep_polish, opt_polish,
                                         args.car_ratio_pose, epoch)
@@ -228,10 +247,21 @@ def main():
             f"online epoch {epoch}{tag}: "
             f"fine={avg:.5f} window={cur.current_frame} "
             f"trans={['%.4f' % t for t in trans_err]} rot={['%.4f' % r for r in rot_err]} "
-            f"rays/s={timer2.rays_per_sec:.0f}",
+            f"rays/s={timer2.rays_per_sec:.0f} ({time.time() - ep_t0:.0f}s)",
             flush=True,
         )
         epoch += 1
+        if args.ckpt_every > 0 and epoch % args.ckpt_every == 0:
+            ckpt_mod.save_checkpoint(os.path.join(args.out, "ckpt"),
+                                     {"params": online_params_box[0]}, step=epoch)
+            ckpt_mod.gc_checkpoints(os.path.join(args.out, "ckpt"), keep_last=2)
+            with open(os.path.join(args.out, "history.json"), "w") as f:
+                json.dump(history, f)
+        if cur.done and max(trans_err) < args.target_pose_err \
+                and max(rot_err) < args.target_pose_err:
+            print(f"pose target {args.target_pose_err} reached at epoch {epoch - 1}",
+                  flush=True)
+            break
     online_params = online_params_box[0]
 
     # final eval: render a frame with learned poses
