@@ -58,6 +58,10 @@ class StarConfig:
     end_barf: int = -1
     compute_dtype: Any = jnp.bfloat16
     use_fused: Any = None  # None = auto (fused Pallas MLP on TPU)
+    # Sum pre-activation raw densities before softplus for the joint alpha,
+    # exactly as the reference does (rendering__.py:416-418), instead of the
+    # default post-softplus density sum. A/B lever for parity studies.
+    reference_numerics: bool = False
 
     def static_field(self, fine: bool = False) -> FieldConfig:
         return FieldConfig(
@@ -169,6 +173,7 @@ def apply_star(
         white_bkgd=cfg.white_bkgd,
         far_dist=cfg.far_dist,
         with_test_outputs=with_test_outputs,
+        reference_numerics=cfg.reference_numerics,
     )
 
 

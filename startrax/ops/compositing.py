@@ -102,6 +102,7 @@ def raw2outputs_star(
     white_bkgd: bool = False,
     far_dist: float = 1e10,
     with_test_outputs: bool = False,
+    reference_numerics: bool = False,
 ):
     """STaR multi-field compositing under a joint transmittance.
 
@@ -119,7 +120,10 @@ def raw2outputs_star(
     softplus (rendering__.py:416-418); we sum post-softplus densities, the
     physically consistent form (it makes an empty dynamic field reduce STaR
     compositing exactly to single-field compositing, and gives
-    T == T_s * prod_k T_d^k up to the 1e-10 guard).
+    T == T_s * prod_k T_d^k up to the 1e-10 guard). Pass
+    reference_numerics=True to reproduce the reference's pre-activation sum
+    for the joint alpha (per-field alphas are identical in both conventions);
+    tests/test_compositing.py quantifies the divergence.
     """
     # trace-time shape contract (the reference enforces this at runtime with
     # torchtyping+typeguard, models/types__.py; chex asserts are free under jit)
@@ -148,7 +152,13 @@ def raw2outputs_star(
 
     alpha_static = raw2alpha(raw_alpha_static, dists)  # [R, S]
     alpha_dynamic = raw2alpha(raw_alpha_dynamic, dists[:, None, :])  # [R, K, S]
-    alpha_total = 1.0 - jnp.exp(-sigma_total * dists)
+    if reference_numerics:
+        # softplus(raw_s + sum_k raw_d): reference rendering__.py:416-418.
+        alpha_total = raw2alpha(
+            raw_alpha_static + jnp.sum(raw_alpha_dynamic, axis=1), dists
+        )
+    else:
+        alpha_total = 1.0 - jnp.exp(-sigma_total * dists)
 
     T_s = _transmittance(alpha_static)  # [R, S]
     T_d = _transmittance(alpha_dynamic)  # [R, K, S]

@@ -40,11 +40,17 @@ class Config:
     netdepth_fine: int = 8
     netwidth_fine: int = 256
     use_viewdirs: bool = True
+    # 0 = positional encoding, -1 = identity (no encoding) — reference
+    # get_embedder semantics (models/embedder.py:38-54)
     i_embed: int = 0
     multires: int = 10
     multires_views: int = 4
     raw_noise_std: float = 0.0
     end_barf: int = -1
+    # Sum pre-activation raw densities before softplus in the STaR joint
+    # alpha, reproducing the reference exactly (rendering__.py:416-418);
+    # default False = post-softplus density sum (see ops/compositing.py)
+    reference_numerics: bool = False
 
     # sampling / rendering
     N_rand: int = 1000
@@ -94,6 +100,9 @@ class Config:
     appearance_init_thres: float = 9e-4
     online_thres: float = 1e-3
     initial_num_frames: int = 5
+    # Accepted for config-file compatibility but deliberately inert, matching
+    # the reference: its only use is commented out (train_online_mip.py:122).
+    # Use lambda_alpha_entropy for an active entropy regularizer.
     entropy_weight: float = 0.0
 
     # regularizers
@@ -237,14 +246,17 @@ def star_config_from(cfg: Config):
     from ..models.star import StarConfig
 
     scale = cfg.scale_factor if cfg.scale_factor > 0 else 1.0
+    if cfg.i_embed not in (0, -1):
+        raise ValueError(f"i_embed must be 0 (PE) or -1 (identity), got {cfg.i_embed}")
+    identity_embed = cfg.i_embed == -1  # reference models/embedder.py:38-54
     return StarConfig(
         num_vehicles=cfg.num_vehicles,
         netdepth=cfg.netdepth,
         netdepth_fine=cfg.netdepth_fine,
         netwidth=cfg.netwidth,
         netwidth_fine=cfg.netwidth_fine,
-        multires=cfg.multires,
-        multires_views=cfg.multires_views,
+        multires=0 if identity_embed else cfg.multires,
+        multires_views=0 if identity_embed else cfg.multires_views,
         n_samples=cfg.N_samples,
         n_importance=cfg.N_importance,
         near=cfg.near * scale,
@@ -256,6 +268,7 @@ def star_config_from(cfg: Config):
         perturb=cfg.perturb,
         end_barf=cfg.end_barf,
         compute_dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32,
+        reference_numerics=cfg.reference_numerics,
     )
 
 

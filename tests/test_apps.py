@@ -53,6 +53,16 @@ def test_star_config_mapping():
     assert sc.compute_dtype == jnp.bfloat16
 
 
+def test_star_config_reference_numerics_and_i_embed():
+    sc = config_mod.star_config_from(config_mod.Config(reference_numerics=True))
+    assert sc.reference_numerics
+    # i_embed=-1 -> identity embedding (reference models/embedder.py:38-54)
+    sc = config_mod.star_config_from(config_mod.Config(i_embed=-1))
+    assert sc.multires == 0 and sc.multires_views == 0
+    with pytest.raises(ValueError):
+        config_mod.star_config_from(config_mod.Config(i_embed=3))
+
+
 def _tiny_synthetic_cfg(tmp_path, **overrides):
     base = dict(
         expname="smoke", basedir=str(tmp_path), dataset_type="synthetic",

@@ -151,6 +151,60 @@ def test_star_joint_transmittance_golden():
         assert np.isfinite(float(out[k])), k
 
 
+def test_star_reference_numerics_golden():
+    """reference_numerics=True sums pre-activation raws before softplus for
+    the joint alpha, exactly matching the reference (rendering__.py:416-418)."""
+    rng = np.random.default_rng(5)
+    R, K, S = 4, 2, 8
+    ras = rng.normal(size=(R, S)).astype(np.float32)
+    rrs = rng.normal(size=(R, S, 3)).astype(np.float32)
+    rad = rng.normal(size=(R, K, S)).astype(np.float32)
+    rrd = rng.normal(size=(R, K, S, 3)).astype(np.float32)
+    z = np.sort(rng.uniform(2, 6, size=(R, S)).astype(np.float32), -1)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+
+    out = compositing.raw2outputs_star(
+        jnp.asarray(ras), jnp.asarray(rrs), jnp.asarray(rad), jnp.asarray(rrd),
+        jnp.asarray(z), jnp.asarray(d), reference_numerics=True,
+    )
+
+    dists = np.concatenate([np.diff(z, axis=-1), np.full((R, 1), 1e10, np.float32)], -1)
+    dists = dists * np.linalg.norm(d, axis=-1, keepdims=True)
+    sig = lambda x: 1 / (1 + np.exp(-x))
+    a_s = 1 - np.exp(-_np_softplus(ras) * dists)
+    a_d = 1 - np.exp(-_np_softplus(rad) * dists[:, None, :])
+    # reference joint alpha: softplus of the raw sum
+    a_tot = 1 - np.exp(-_np_softplus(ras + rad.sum(1)) * dists)
+    T = np.cumprod(
+        np.concatenate([np.ones((R, 1)), 1 - a_tot + 1e-10], -1), -1
+    )[:, :-1]
+    rgb_want = np.sum(
+        T[..., None] * (a_s[..., None] * sig(rrs) + np.sum(a_d[..., None] * sig(rrd), 1)),
+        axis=-2,
+    )
+    np.testing.assert_allclose(np.asarray(out["rgb"]), rgb_want, atol=1e-4)
+
+    # The conventions genuinely differ on raw inputs (softplus is not
+    # additive): a very negative dynamic raw *subtracts* static density in
+    # the reference convention but is a no-op in the default convention.
+    out_default = compositing.raw2outputs_star(
+        jnp.asarray(ras), jnp.asarray(rrs), jnp.asarray(rad), jnp.asarray(rrd),
+        jnp.asarray(z), jnp.asarray(d), reference_numerics=False,
+    )
+    assert float(jnp.max(jnp.abs(out["rgb"] - out_default["rgb"]))) > 1e-4
+
+    # Gradients stay finite in reference mode (training-safety).
+    def f(ra):
+        o = compositing.raw2outputs_star(
+            ra, jnp.asarray(rrs), jnp.asarray(rad), jnp.asarray(rrd),
+            jnp.asarray(z), jnp.asarray(d), reference_numerics=True,
+        )
+        return jnp.sum(o["rgb"])
+
+    g = jax.grad(f)(jnp.asarray(ras))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_regularizers_drive_expected_direction():
     """Alpha entropy is ~0 for saturated alphas, large for alpha=0.5."""
     from startrax.ops import regularizers as reg
