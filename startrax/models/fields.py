@@ -123,7 +123,12 @@ def apply_field(
     Returns (raw_alpha [R, S], raw_rgb [R, S, 3]) in f32 (pre-activation;
     compositing applies softplus/sigmoid).
     """
+    import chex
+
+    chex.assert_rank(pts, 3)
     R, S = pts.shape[0], pts.shape[1]
+    chex.assert_shape(pts, (R, S, 3))
+    chex.assert_shape(viewdirs, (R, 3))
     x = pts.reshape(-1, pts.shape[-1])  # [R*S, 3]
     if time is not None:
         t = jnp.broadcast_to(jnp.asarray(time, x.dtype).reshape(-1), (x.shape[0],))
@@ -217,6 +222,11 @@ def apply_stacked_fields(params: Params, cfg: FieldConfig, pts, viewdirs, step=N
     The fused-kernel path unrolls the (small, static) vehicle axis in Python
     rather than vmapping a pallas_call; the XLA path vmaps.
     """
+    import chex
+
+    n, R, S = pts.shape[0], pts.shape[1], pts.shape[2]
+    chex.assert_shape(pts, (n, R, S, 3))
+    chex.assert_shape(viewdirs, (n, R, 3))
     if _resolve_use_fused(cfg):
         n = pts.shape[0]
         outs = [

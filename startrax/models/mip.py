@@ -283,7 +283,13 @@ def render_star_mip(
 
     Mirrors the reference __forward_app_init / __forward_online
     (star_mipnerf.py:263-357) with coarse outputs suffixed "0"."""
+    import chex
+
     n_rays = rays_o.shape[0]
+    chex.assert_shape(rays_o, (n_rays, 3))
+    chex.assert_shape(rays_d, (n_rays, 3))
+    if pose is not None:
+        chex.assert_shape(pose, (cfg.num_vehicles, 7))
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
     if key is not None:

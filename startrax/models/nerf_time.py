@@ -49,7 +49,11 @@ def render_nerf_time(
     `frame` is a traced integer scalar; time = frame / (num_frames - 1)
     (reference models/nerf_time.py:96).
     """
+    import chex
+
     n_rays = rays_o.shape[0]
+    chex.assert_shape(rays_o, (n_rays, 3))
+    chex.assert_shape(rays_d, (n_rays, 3))
     time = jnp.asarray(frame, jnp.float32) / (num_frames - 1)
 
     if key is not None:

@@ -194,7 +194,17 @@ def render_star(
     rendering__.py:115-149) and render_star_online (rendering__.py:249-298).
     Coarse outputs get a "0" suffix; fine outputs keep bare names; adds z_std.
     """
+    import chex
+
     n_rays = rays_o.shape[0]
+    chex.assert_shape(rays_o, (n_rays, 3))
+    chex.assert_shape(rays_d, (n_rays, 3))
+    if pose is not None:
+        K = cfg.num_vehicles
+        if pose.ndim == 3:
+            chex.assert_shape(pose, (n_rays, K, 7))  # per-ray mixed-frame poses
+        else:
+            chex.assert_shape(pose, (K, 7))
     if key is not None:
         k_strat, k_pdf, k_noise = jax.random.split(key, 3)
     else:

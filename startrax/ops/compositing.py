@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import chex
 import jax
 import jax.numpy as jnp
 
@@ -62,6 +63,12 @@ def raw2outputs(
     Returns dict with rgb/disp/acc/weights/depth/dists/z_vals (reference
     rendering__.py:307-379).
     """
+    # trace-time shape contract (reference models/types__.py enforces the
+    # same at runtime with torchtyping+typeguard; chex is free under jit)
+    R, S = raw_alpha.shape
+    chex.assert_shape(raw_rgb, (R, S, 3))
+    chex.assert_shape(z_vals, (R, S))
+    chex.assert_shape(rays_d, (R, 3))
     dists = _dists_from_z(z_vals, rays_d, far_dist)
     rgb = jax.nn.sigmoid(raw_rgb)
     if noise is not None:
@@ -127,8 +134,6 @@ def raw2outputs_star(
     """
     # trace-time shape contract (the reference enforces this at runtime with
     # torchtyping+typeguard, models/types__.py; chex asserts are free under jit)
-    import chex
-
     R, S = raw_alpha_static.shape
     K = raw_alpha_dynamic.shape[1]
     chex.assert_shape(raw_rgb_static, (R, S, 3))

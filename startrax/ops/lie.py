@@ -172,6 +172,8 @@ def se3_act(pose7, pts):
     """Apply SE(3) to points: R(q) @ p + t.
 
     pose7: [..., 7], pts: [..., 3] (broadcast leading dims)."""
+    assert pose7.shape[-1] == 7, f"pose7 last dim must be 7, got {pose7.shape}"
+    assert pts.shape[-1] == 3, f"pts last dim must be 3, got {pts.shape}"
     return quat_rotate(pose7[..., 3:7], pts) + pose7[..., :3]
 
 

@@ -58,6 +58,15 @@ def sample_pdf(key, bins, weights, n_samples: int, det: bool = False):
     det=True uses evenly spaced u (eval); otherwise uniform randoms.
     Matches reference sample_pdf (rendering__.py:719-761) numerically.
     """
+    import chex
+
+    chex.assert_equal_rank([bins, weights])
+    B = weights.shape[-1]
+    # z-midpoint callers pass B+1 edges; edge-style callers (mip) pass B+2
+    if bins.shape[-1] not in (B + 1, B + 2):
+        raise AssertionError(
+            f"bins last dim {bins.shape[-1]} must be weights last dim + 1 or + 2 ({B})"
+        )
     weights = weights + PDF_EPS
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
     cdf = jnp.cumsum(pdf, axis=-1)

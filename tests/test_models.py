@@ -35,6 +35,37 @@ def _rays(n, seed=0):
     return jnp.asarray(rays_o), jnp.asarray(d)
 
 
+def test_shape_contracts_reject_malformed():
+    """Every public model/render entry point fails fast on malformed shapes
+    (reference enforces this with torchtyping, models/types__.py)."""
+    from startrax.ops import compositing, sampling
+
+    params = star.init_star(jax.random.PRNGKey(0), CFG)
+    rays_o, rays_d = _rays(4)
+
+    with pytest.raises(AssertionError):
+        star.render_star(params, CFG, rays_o[:, :2], rays_d[:, :2])  # rays not [R,3]
+    with pytest.raises(AssertionError):  # pose K mismatch (CFG has 2 vehicles)
+        star.render_star(params, CFG, rays_o, rays_d, pose=lie.se3_identity(3))
+
+    fcfg = CFG.static_field()
+    fparams = fields.init_field(jax.random.PRNGKey(1), fcfg)
+    pts = jnp.zeros((4, 8, 3))
+    with pytest.raises(AssertionError):
+        fields.apply_field(fparams, fcfg, pts, jnp.zeros((5, 3)))  # R mismatch
+    with pytest.raises(AssertionError):
+        fields.apply_field(fparams, fcfg, jnp.zeros((4, 8, 2)), jnp.zeros((4, 3)))
+
+    with pytest.raises(AssertionError):  # raw_rgb not [R,S,3]
+        compositing.raw2outputs(
+            jnp.zeros((4, 8)), jnp.zeros((4, 8, 4)), jnp.zeros((4, 8)), rays_d
+        )
+    with pytest.raises(AssertionError):  # bins must be weights+1 or +2 wide
+        sampling.sample_pdf(None, jnp.zeros((4, 12)), jnp.zeros((4, 8)), 4, det=True)
+    with pytest.raises(AssertionError):
+        lie.se3_act(jnp.zeros((2, 6)), jnp.zeros((2, 3)))
+
+
 def test_field_shapes_and_determinism():
     cfg = CFG.static_field()
     params = fields.init_field(jax.random.PRNGKey(0), cfg)
