@@ -73,33 +73,47 @@ def train(cfg: Config):
     def update_grid_fn(grid, params, key):
         return occgrid.update_grid(grid, lambda p: density_fn(params, p), key, occ_cfg)
 
-    def loss_fn(params, grid, batch, key):
-        z_sel, valid = occgrid.march_and_select(
-            grid, occ_cfg, batch["rays_o"], batch["rays_d"], near, far, key=key
-        )
-        viewdirs = batch["rays_d"] / jnp.linalg.norm(batch["rays_d"], axis=-1, keepdims=True)
-        pts = batch["rays_o"][:, None, :] + batch["rays_d"][:, None, :] * z_sel[..., None]
-        raw_alpha, raw_rgb = apply_field(params, field_cfg, pts, viewdirs)
-        raw_alpha = occgrid.masked_raw_alpha(raw_alpha, valid)
-        out = raw2outputs(
-            raw_alpha, raw_rgb, z_sel, batch["rays_d"],
-            white_bkgd=cfg.white_bkgd, far_dist=cfg.far_dist,
-        )
-        loss = img2mse(out["rgb"], batch["target"])
-        return loss, {"fine_loss": loss, "psnr": mse2psnr(loss),
-                      "mean_samples": jnp.mean(jnp.sum(valid, -1).astype(jnp.float32))}
+    def make_train_step(occ_cfg):
+        """Jitted step for one sample budget; rebuilt (re-jitted) when the
+        budget adapts — the jit-boundary equivalent of the reference's
+        dynamic ray-batch resizing (train_app_init_nerfacc.py:99-105)."""
 
-    @jax.jit
-    def train_step(params, opt_state, grid, batch, key):
-        (lossv, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, grid, batch, key
-        )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, lossv, metrics
+        def loss_fn(params, grid, batch, key):
+            z_sel, valid, n_occ = occgrid.march_and_select(
+                grid, occ_cfg, batch["rays_o"], batch["rays_d"], near, far, key=key
+            )
+            viewdirs = batch["rays_d"] / jnp.linalg.norm(batch["rays_d"], axis=-1, keepdims=True)
+            pts = batch["rays_o"][:, None, :] + batch["rays_d"][:, None, :] * z_sel[..., None]
+            raw_alpha, raw_rgb = apply_field(params, field_cfg, pts, viewdirs)
+            raw_alpha = occgrid.masked_raw_alpha(raw_alpha, valid)
+            out = raw2outputs(
+                raw_alpha, raw_rgb, z_sel, batch["rays_d"],
+                white_bkgd=cfg.white_bkgd, far_dist=cfg.far_dist,
+            )
+            loss = img2mse(out["rgb"], batch["target"])
+            n_occ = n_occ.astype(jnp.float32)
+            dropped = jnp.maximum(n_occ - occ_cfg.n_selected, 0.0)
+            return loss, {
+                "fine_loss": loss, "psnr": mse2psnr(loss),
+                "mean_samples": jnp.mean(jnp.sum(valid, -1).astype(jnp.float32)),
+                "dropped_frac": jnp.sum(dropped) / jnp.maximum(jnp.sum(n_occ), 1.0),
+            }
+
+        @jax.jit
+        def train_step(params, opt_state, grid, batch, key):
+            (lossv, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, grid, batch, key
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, lossv, metrics
+
+        return train_step
+
+    train_step = make_train_step(occ_cfg)
 
     step = 0
     for epoch in range(cfg.epochs_appearance):
-        fine_losses = []
+        fine_losses, dropped = [], []
         for _ in range(cfg.steps_per_epoch):
             if step % GRID_UPDATE_EVERY == 0:
                 key, sub = jax.random.split(key)
@@ -113,13 +127,26 @@ def train(cfg: Config):
             params, opt_state, lossv, metrics = train_step(params, opt_state, grid, batch, sub)
             step += 1
             fine_losses.append(metrics["fine_loss"])
+            dropped.append(metrics["dropped_frac"])
         avg = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
+        avg_dropped = float(np.mean(np.asarray(jnp.stack(dropped))))
         ws.metrics.log(
             {"train/fine_loss": avg, "train/mean_samples": float(metrics["mean_samples"]),
-             "epoch": epoch},
+             "train/dropped_frac": avg_dropped, "epoch": epoch},
             step,
         )
-        ws.log(f"epoch {epoch}: fine_loss={avg:.6f} mean_samples={float(metrics['mean_samples']):.1f}")
+        ws.log(f"epoch {epoch}: fine_loss={avg:.6f} "
+               f"mean_samples={float(metrics['mean_samples']):.1f} "
+               f"dropped_frac={avg_dropped:.4f}")
+        if avg_dropped > 0.01 and occ_cfg.n_selected < occ_cfg.n_march:
+            # >1% of occupied samples were silently truncated: double the
+            # per-ray budget at this jit boundary and rebuild the step
+            occ_cfg = dataclasses.replace(
+                occ_cfg, n_selected=min(occ_cfg.n_selected * 2, occ_cfg.n_march)
+            )
+            train_step = make_train_step(occ_cfg)
+            ws.log(f"raised occgrid sample budget to {occ_cfg.n_selected} "
+                   f"(dropped_frac={avg_dropped:.4f})")
         if (epoch + 1) % cfg.epoch_ckpt == 0:
             ckpt.save_checkpoint(ws.ckpt_dir, {"params": params}, step=epoch)
         if avg <= cfg.appearance_init_thres:

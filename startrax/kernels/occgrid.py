@@ -114,9 +114,13 @@ def march_and_select(
 ):
     """Fixed-step march + occupied-sample compaction.
 
-    Returns (z_sel [R, n_selected], valid [R, n_selected]) sorted by depth:
-    the first k slots per ray are its occupied samples in order; the rest are
-    flagged invalid.
+    Returns (z_sel [R, n_selected], valid [R, n_selected], n_occupied [R])
+    sorted by depth: the first k slots per ray are its occupied samples in
+    order; the rest are flagged invalid. n_occupied counts a ray's occupied
+    march samples BEFORE truncation to the n_selected budget, so callers can
+    monitor the dropped fraction (the reference instead resizes the ray batch
+    to bound total samples, train_app_init_nerfacc.py:99-105 — shape-dynamic;
+    here the budget is adapted between jit boundaries, see apps/occgrid_init).
     """
     R = rays_o.shape[0]
     t = jnp.linspace(0.0, 1.0, cfg.n_march)
@@ -136,7 +140,7 @@ def march_and_select(
     z_sel = jnp.take_along_axis(z, sel, axis=-1)
     valid = jnp.take_along_axis(occ, sel, axis=-1)
     z_sel = jnp.where(valid, z_sel, far)
-    return z_sel, valid
+    return z_sel, valid, jnp.sum(occ, axis=-1)
 
 
 def masked_raw_alpha(raw_alpha, valid):

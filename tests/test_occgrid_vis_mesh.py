@@ -41,7 +41,7 @@ def test_march_selects_only_occupied():
     # ray through the blob center
     rays_o = jnp.asarray([[-2.0, 0.0, 0.0], [-2.0, 0.95, 0.95]])
     rays_d = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
-    z_sel, valid = occgrid.march_and_select(grid, OCC, rays_o, rays_d, 0.5, 4.0)
+    z_sel, valid, n_occ = occgrid.march_and_select(grid, OCC, rays_o, rays_d, 0.5, 4.0)
     assert z_sel.shape == (2, OCC.n_selected)
     v0 = np.asarray(valid[0])
     assert v0.sum() > 0, "ray through blob should hit occupied cells"
@@ -86,7 +86,7 @@ def test_occgrid_render_matches_dense_on_coarse_scene():
     rgbraw = jnp.full(pts.shape, 2.0)
     dense = raw2outputs(raw, rgbraw, z_dense, rays_d)
 
-    z_sel, valid = occgrid.march_and_select(grid, OCC, rays_o, rays_d, 0.5, 4.0)
+    z_sel, valid, n_occ = occgrid.march_and_select(grid, OCC, rays_o, rays_d, 0.5, 4.0)
     pts_s = rays_o[:, None] + rays_d[:, None] * z_sel[..., None]
     sigma_s = _blob_density(pts_s)
     raw_s = occgrid.masked_raw_alpha(jnp.log(jnp.expm1(jnp.maximum(sigma_s, 1e-6))), valid)
@@ -96,6 +96,86 @@ def test_occgrid_render_matches_dense_on_coarse_scene():
     np.testing.assert_allclose(
         float(sparse["depth"][0]), float(dense["depth"][0]), atol=0.1
     )
+
+
+def test_march_counts_occupied_before_truncation():
+    """n_occupied reports pre-truncation counts so callers can track the
+    dropped fraction (reference bounds total samples instead,
+    train_app_init_nerfacc.py:99-105)."""
+    tight = dataclasses.replace(OCC, n_selected=4)
+    grid = occgrid.init_grid(tight)
+    grid = occgrid.update_grid(grid, _blob_density, jax.random.PRNGKey(1), tight)
+    rays_o = jnp.asarray([[-2.0, 0.0, 0.0]])
+    rays_d = jnp.asarray([[1.0, 0.0, 0.0]])
+    z_sel, valid, n_occ = occgrid.march_and_select(grid, tight, rays_o, rays_d, 0.5, 4.0)
+    n_occ = int(n_occ[0])
+    assert n_occ > tight.n_selected, "test scene must overflow the tiny budget"
+    assert int(np.asarray(valid[0]).sum()) == tight.n_selected
+    # with a big-enough budget nothing is dropped and counts agree
+    z2, v2, n2 = occgrid.march_and_select(grid, OCC, rays_o, rays_d, 0.5, 4.0)
+    assert int(n2[0]) == int(np.asarray(v2[0]).sum()) == n_occ
+
+
+def test_star_occgrid_pair_matches_dense_compositing():
+    """The static+dynamic occgrid pair (reference models/star_nerfacc.py:23-166)
+    equals raw2outputs_star over the same samples when nothing is truncated,
+    and pose gradients flow through the warp."""
+    from startrax.models import star_occgrid
+    from startrax.models.star import StarConfig
+    from startrax.ops import lie
+    from startrax.ops.compositing import raw2outputs_star
+    from startrax.models.fields import apply_field, apply_stacked_fields
+
+    # near/far keep the march inside the occupancy AABB so the warmup grid
+    # (everything occupied) yields all-valid samples
+    cfg = StarConfig(
+        num_vehicles=1, netdepth=2, netdepth_fine=2, netwidth=16, netwidth_fine=16,
+        n_samples=16, n_importance=0, near=1.2, far=2.8, compute_dtype=jnp.float32,
+    )
+    params = star_occgrid.init_star_occgrid(jax.random.PRNGKey(0), cfg)
+    grid = occgrid.init_grid(OCC)  # step 0 -> warmup: everything occupied
+    occ_all = dataclasses.replace(OCC, n_selected=OCC.n_march)
+
+    rays_o = jnp.asarray([[-2.0, 0.0, 0.0], [-2.0, 0.3, 0.1]])
+    rays_d = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    pose = lie.se3_identity(1)
+
+    out = star_occgrid.render_star_occgrid(
+        params, cfg, grid, occ_all, rays_o, rays_d, pose=pose
+    )
+    assert bool(jnp.all(out["valid"]))
+
+    # dense re-computation over the same z
+    z = out["z_vals"]
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    fcfg = cfg.static_field()
+    ras, rrs = apply_field(params["static"], fcfg, pts, viewdirs)
+    from startrax.models.star import warp_to_vehicle_frames
+
+    pd, dd = warp_to_vehicle_frames(pose, pts, viewdirs)
+    rad, rrd = apply_stacked_fields(params["dynamic"], fcfg, pd, dd)
+    want = raw2outputs_star(
+        ras, rrs, jnp.moveaxis(rad, 0, 1), jnp.moveaxis(rrd, 0, 1), z, rays_d,
+        far_dist=cfg.far_dist,
+    )
+    np.testing.assert_allclose(np.asarray(out["rgb"]), np.asarray(want["rgb"]), atol=1e-5)
+
+    # pose gradient flows through the occgrid render
+    def f(p7):
+        o = star_occgrid.render_star_occgrid(
+            params, cfg, grid, occ_all, rays_o, rays_d, pose=p7
+        )
+        return jnp.sum(o["rgb"])
+
+    g = jax.grad(f)(pose)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # joint density includes the dynamic field
+    dens = star_occgrid.joint_density_fn(params, cfg, pose)(pts.reshape(-1, 3))
+    dens_static = star_occgrid.joint_density_fn(params, cfg, None)(pts.reshape(-1, 3))
+    assert dens.shape == (pts.reshape(-1, 3).shape[0],)
+    assert float(jnp.max(jnp.abs(dens - dens_static))) > 0  # dynamic adds density
 
 
 # ------------------------------- vis --------------------------------------
