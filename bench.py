@@ -8,9 +8,11 @@ samples x (1 static 8x256 + 2 dynamic 4x256 fields), full forward + backward
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no throughput numbers (BASELINE.md); vs_baseline is
-measured rays/sec divided by an estimated 1500 rays/sec for the PyTorch
-reference on one A100 (fp32, chunked eval; estimate documented in
-BENCH_NOTES.md). The driver's north star is >= 5x.
+measured rays/sec divided by 1500 rays/sec for the PyTorch reference on one
+A100 — a *conservative* denominator sitting above the measured-and-bracketed
+fp32 range of 264-1057 rays/s (scripts/baseline_microbench.py: same-step
+PyTorch reproduction measured on CPU + verified FLOP accounting + A100 MFU
+bracket; full ledger in BENCH_NOTES.md). The driver's north star is >= 5x.
 """
 
 import json
