@@ -71,6 +71,13 @@ def main():
                          "below this (curriculum must be complete)")
     ap.add_argument("--ckpt_every", type=int, default=10,
                     help="save a checkpoint + history every N online epochs")
+    ap.add_argument("--resume_from", default="",
+                    help="checkpoint dir from a previous run: skip appearance "
+                         "init, restore params (+ curriculum/epoch when the "
+                         "checkpoint has them; else pass --resume_window/"
+                         "--resume_epoch). Optimizer moments restart fresh.")
+    ap.add_argument("--resume_window", type=int, default=0)
+    ap.add_argument("--resume_epoch", type=int, default=0)
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -93,48 +100,74 @@ def main():
     key = jax.random.PRNGKey(42)
     n_rand = args.n_rand
 
-    # ---------------- stage 1: appearance init ----------------
-    params = init_star(key, cfg)
     spe = args.steps_per_epoch
-    tx = optim.make_appinit_optimizer(5e-4, steps_per_epoch=spe, decay_epochs=20, params=params)
-    opt_state = tx.init(params)
-    step_fn = loop.make_appinit_train_step(cfg, loop.LossConfig(), tx)
-
-    appinit_budget = args.appinit_minutes * 60 or min(args.minutes * 60 * 0.35, 35 * 60)
-    appinit_budget = min(appinit_budget, deadline - time.time())
-    t0 = time.time()
-    step = 0
-    timer = StepTimer(sync_every=100)
-    recent_fine = 1.0
-    pf_init = BatchPrefetcher(
-        lambda r, st: data.sample_batch(r, n_rand, frame=0),
-        {}, seed=1000, depth=6, workers=2)
-    while time.time() - t0 < appinit_budget and recent_fine > 2e-6:
-        batch = {k: jnp.asarray(v) for k, v in next(pf_init).items()}
-        key, sub = jax.random.split(key)
-        params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
-        timer.tick(lossv, n_rand)
-        step += 1
-        if step % 500 == 0:
-            recent_fine = float(metrics["fine_loss"])
-            print(f"appinit step {step}: fine={float(metrics['fine_loss']):.5f} "
-                  f"psnr={float(metrics['psnr']):.2f} rays/s={timer.rays_per_sec:.0f}",
-                  flush=True)
-    appinit_steps, appinit_fine = step, float(metrics["fine_loss"])
-
-    pf_init.close()
-
-    # static val render
     rays_o, rays_d = data.view_rays(0)
-    out = render_image(params, cfg, rays_o, rays_d, pose=None)
-    appinit_psnr = float(psnr_fn(jnp.asarray(out["rgb"]), jnp.asarray(data.images[0, 0])))
-    print(f"appinit done: {appinit_steps} steps, val PSNR {appinit_psnr:.2f}", flush=True)
+
+    # ---------------- stage 1: appearance init ----------------
+    appinit_psnr = float("nan")
+    if not args.resume_from:
+        params = init_star(key, cfg)
+        tx = optim.make_appinit_optimizer(5e-4, steps_per_epoch=spe, decay_epochs=20, params=params)
+        opt_state = tx.init(params)
+        step_fn = loop.make_appinit_train_step(cfg, loop.LossConfig(), tx)
+
+        appinit_budget = args.appinit_minutes * 60 or min(args.minutes * 60 * 0.35, 35 * 60)
+        appinit_budget = min(appinit_budget, deadline - time.time())
+        t0 = time.time()
+        step = 0
+        timer = StepTimer(sync_every=100)
+        recent_fine = 1.0
+        pf_init = BatchPrefetcher(
+            lambda r, st: data.sample_batch(r, n_rand, frame=0),
+            {}, seed=1000, depth=6, workers=2)
+        while time.time() - t0 < appinit_budget and recent_fine > 2e-6:
+            batch = {k: jnp.asarray(v) for k, v in next(pf_init).items()}
+            key, sub = jax.random.split(key)
+            params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
+            timer.tick(lossv, n_rand)
+            step += 1
+            if step % 500 == 0:
+                recent_fine = float(metrics["fine_loss"])
+                print(f"appinit step {step}: fine={float(metrics['fine_loss']):.5f} "
+                      f"psnr={float(metrics['psnr']):.2f} rays/s={timer.rays_per_sec:.0f}",
+                      flush=True)
+        appinit_steps = step
+
+        pf_init.close()
+
+        # static val render
+        out = render_image(params, cfg, rays_o, rays_d, pose=None)
+        appinit_psnr = float(psnr_fn(jnp.asarray(out["rgb"]), jnp.asarray(data.images[0, 0])))
+        print(f"appinit done: {appinit_steps} steps, val PSNR {appinit_psnr:.2f}", flush=True)
 
     # ---------------- stage 2: online tracking ----------------
+    cur_cfg = CurriculumConfig(num_frames=scene.num_frames, initial_num_frames=5,
+                               online_thres=2e-3, min_epochs_between=2)
     online_params = loop.init_online_params(jax.random.PRNGKey(7), cfg, scene.num_frames)
-    online_params = ckpt_mod.restore_static_only(params, online_params)
+    # deterministic noisy init (rng(42) untouched so far) — also the init-error
+    # reference when resuming
     noisy = data.noisy_gt_relative_poses(rng)  # [K, F, 7]
-    online_params["poses"] = jnp.asarray(np.swapaxes(noisy, 0, 1)[1:])
+    noisy_poses = jnp.asarray(np.swapaxes(noisy, 0, 1)[1:])
+    start_epoch = 0
+    restored_cur = None
+    if args.resume_from:
+        saved = ckpt_mod.checkpoint_keys(args.resume_from)
+        template = {"params": online_params}
+        if "epoch" in saved:
+            template["epoch"] = np.asarray(0)
+        if "curriculum" in saved:
+            template["curriculum"] = jax.tree.map(
+                np.asarray,
+                ckpt_mod.curriculum_to_dict(CurriculumState.initial(cur_cfg)))
+        restored = ckpt_mod.restore_checkpoint(args.resume_from, template=template)
+        online_params = restored["params"]
+        if "curriculum" in restored:
+            restored_cur = ckpt_mod.curriculum_from_dict(restored["curriculum"])
+        start_epoch = int(restored.get("epoch", args.resume_epoch))
+        print(f"resumed from {args.resume_from} at epoch {start_epoch}", flush=True)
+    else:
+        online_params = ckpt_mod.restore_static_only(params, online_params)
+        online_params["poses"] = noisy_poses
     gt_rel = np.swapaxes(data.gt_relative_poses(), 0, 1)  # [F, K, 7]
 
     tx2 = optim.make_fused_star_optimizer(
@@ -160,15 +193,20 @@ def main():
     opt_pose = tx_pose.init(online_params)
     ostep_pose = loop.make_online_train_step(cfg, loss_cfg, tx_pose)
 
-    cur_cfg = CurriculumConfig(num_frames=scene.num_frames, initial_num_frames=5,
-                               online_thres=2e-3, min_epochs_between=2)
-    cur = CurriculumState.initial(cur_cfg)
+    if restored_cur is not None:
+        cur = restored_cur
+    elif args.resume_window > 0:  # old checkpoints without curriculum state
+        cur = CurriculumState(
+            current_frame=args.resume_window, threshold=cur_cfg.tightened_thres,
+            done=args.resume_window > cur_cfg.num_frames)
+    else:
+        cur = CurriculumState.initial(cur_cfg)
 
     def pose_errors(poses):
         trans, rot, *_ = get_pose_metrics_multi(np.asarray(poses), gt_rel[1:])
         return [float(t) for t in trans], [float(r) for r in rot]
 
-    init_trans, init_rot = pose_errors(online_params["poses"])
+    init_trans, init_rot = pose_errors(noisy_poses)
     print(f"initial pose error: trans={init_trans} rot={init_rot}", flush=True)
 
     # polish-stage optimizer: pose-only with a decaying pose LR (fresh Adam
@@ -182,7 +220,7 @@ def main():
     opt_polish = tx_polish.init(online_params)
     ostep_polish = loop.make_online_train_step(cfg, loss_cfg, tx_polish)
 
-    epoch = 0
+    epoch = start_epoch
     timer2 = StepTimer(sync_every=100)
     history = []
     polish_start = None  # wall-clock when the polish stage began
@@ -252,8 +290,13 @@ def main():
         )
         epoch += 1
         if args.ckpt_every > 0 and epoch % args.ckpt_every == 0:
-            ckpt_mod.save_checkpoint(os.path.join(args.out, "ckpt"),
-                                     {"params": online_params_box[0]}, step=epoch)
+            ckpt_mod.save_checkpoint(
+                os.path.join(args.out, "ckpt"),
+                {"params": online_params_box[0],
+                 "curriculum": jax.tree.map(np.asarray,
+                                            ckpt_mod.curriculum_to_dict(cur)),
+                 "epoch": np.asarray(epoch)},
+                step=epoch)
             ckpt_mod.gc_checkpoints(os.path.join(args.out, "ckpt"), keep_last=2)
             with open(os.path.join(args.out, "history.json"), "w") as f:
                 json.dump(history, f)

@@ -89,7 +89,14 @@ def checkpoint_keys(path: str, step: Optional[int] = None):
             raise FileNotFoundError(f"no checkpoint under {path}")
         meta = mgr.item_metadata(step)
         tree = meta.tree if hasattr(meta, "tree") else meta
-        return set(tree.keys())
+        if tree is not None:
+            return set(tree.keys())
+    # some orbax versions return no item metadata for StandardSave trees;
+    # the on-disk _METADATA json still records every leaf path
+    meta_file = os.path.join(path, str(step), "default", "_METADATA")
+    with open(meta_file) as f:
+        tree_meta = json.load(f)["tree_metadata"]
+    return {v["key_metadata"][0]["key"] for v in tree_meta.values()}
 
 
 def restore_static_only(appearance_params, online_params):
