@@ -234,8 +234,10 @@ def main():
         sample_state, seed=2000, depth=6, workers=2)
 
     def run_epoch(step_fn, opt_st, car_ratio, epoch_idx):
+        # current_frame = num_frames + 1 once the curriculum is done
         sample_state.update(
-            start=cur.start_frame, end=cur.current_frame, car=car_ratio)
+            start=cur.start_frame, end=min(cur.current_frame, scene.num_frames),
+            car=car_ratio)
         fines = []
         for _ in range(spe):
             batch = {k: jnp.asarray(v) for k, v in next(pf).items()}

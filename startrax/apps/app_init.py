@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.prefetch import BatchPrefetcher
 from ..eval.image import psnr as psnr_fn, ssim as ssim_fn
 from ..eval.render import render_image
 from ..models.star import init_star
@@ -49,35 +50,40 @@ def train(cfg: Config):
     opt_state = tx.init(params)
     step_fn = loop.make_appinit_train_step(star_cfg, loss_cfg, tx)
 
+    if cfg.dataset_type == "blender":
+        sample_fn = lambda r, st: train_data.sample_batch(r, cfg.N_rand)
+    else:
+        # car-balanced sampling covers the reference's semantic app-init
+        # variant (carla_star_app_init_semantic.py)
+        sample_fn = lambda r, st: train_data.sample_batch(
+            r, cfg.N_rand, frame=0, car_sample_ratio=cfg.car_sample_ratio
+        )
+    prefetcher = BatchPrefetcher(sample_fn, {}, seed=42, depth=6, workers=2)
+
     step = 0
-    for epoch in range(cfg.epochs_appearance):
-        fine_losses = []
-        for _ in range(cfg.steps_per_epoch):
-            if cfg.dataset_type == "blender":
-                batch = train_data.sample_batch(rng, cfg.N_rand)
-            else:
-                # car-balanced sampling covers the reference's semantic
-                # app-init variant (carla_star_app_init_semantic.py)
-                batch = train_data.sample_batch(
-                    rng, cfg.N_rand, frame=0, car_sample_ratio=cfg.car_sample_ratio
-                )
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            key, sub = jax.random.split(key)
-            params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
-            step += 1
-            fine_losses.append(metrics["fine_loss"])  # device scalar, no sync
-        avg_fine = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
-        ws.metrics.log({"train/fine_loss": avg_fine, "epoch": epoch}, step)
-        ws.log(f"epoch {epoch}: fine_loss={avg_fine:.6f}")
+    try:
+        for epoch in range(cfg.epochs_appearance):
+            fine_losses = []
+            for _ in range(cfg.steps_per_epoch):
+                batch = {k: jnp.asarray(v) for k, v in next(prefetcher).items()}
+                key, sub = jax.random.split(key)
+                params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
+                step += 1
+                fine_losses.append(metrics["fine_loss"])  # device scalar, no sync
+            avg_fine = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
+            ws.metrics.log({"train/fine_loss": avg_fine, "epoch": epoch}, step)
+            ws.log(f"epoch {epoch}: fine_loss={avg_fine:.6f}")
 
-        if (epoch + 1) % cfg.epoch_val == 0:
-            _validate(ws, params, star_cfg, val_data, rng, step)
-            ckpt.save_checkpoint(ws.ckpt_dir, {"params": params}, step=epoch)
+            if (epoch + 1) % cfg.epoch_val == 0:
+                _validate(ws, params, star_cfg, val_data, rng, step)
+                ckpt.save_checkpoint(ws.ckpt_dir, {"params": params}, step=epoch)
 
-        # EarlyStopping on train/fine_loss (train_app_init__.py:242-246)
-        if avg_fine <= cfg.appearance_init_thres:
-            ws.log(f"appearance threshold {cfg.appearance_init_thres} reached; stopping")
-            break
+            # EarlyStopping on train/fine_loss (train_app_init__.py:242-246)
+            if avg_fine <= cfg.appearance_init_thres:
+                ws.log(f"appearance threshold {cfg.appearance_init_thres} reached; stopping")
+                break
+    finally:
+        prefetcher.close()
 
     ckpt.save_checkpoint(ws.ckpt_dir, {"params": params}, step=cfg.epochs_appearance)
     return params

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.prefetch import BatchPrefetcher
 from ..eval import pose as pose_mod
 from ..eval.image import psnr as psnr_fn, ssim as ssim_fn
 from ..eval.render import render_image
@@ -127,56 +128,69 @@ def train(cfg: Config):
         cur = ckpt.curriculum_from_dict(restored["curriculum"])
         ws.log(f"resumed online training at frame window {cur.current_frame}")
 
+    # Host-side sampling overlaps device execution (the reference's
+    # DataLoader(num_workers=4) role, train_online__.py:1064).
+    sample_state = {"start": cur.start_frame, "end": cur.current_frame,
+                    "car": cfg.car_sample_ratio, "crop": False}
+    prefetcher = BatchPrefetcher(
+        lambda r, st: train_data.sample_batch(
+            r, cfg.N_rand, start_frame=st["start"], current_frame=st["end"],
+            car_sample_ratio=st["car"], crop=st["crop"],
+            mixed_frames=cfg.mixed_frames),
+        sample_state, seed=1453, depth=6, workers=2)
+
     step = 0
-    for epoch in range(cfg.epochs_online):
-        fine_losses = []
-        crop = epoch < cfg.precrop_iters
-        pose_only = (
-            cfg.pose_only_every > 0 and epoch > 0
-            and epoch % cfg.pose_only_every == 0
-        )
-        for _ in range(cfg.steps_per_epoch):
-            batch = train_data.sample_batch(
-                rng, cfg.N_rand,
-                start_frame=cur.start_frame, current_frame=cur.current_frame,
-                car_sample_ratio=cfg.car_sample_ratio, crop=crop,
+    try:
+        for epoch in range(cfg.epochs_online):
+            fine_losses = []
+            crop = epoch < cfg.precrop_iters
+            pose_only = (
+                cfg.pose_only_every > 0 and epoch > 0
+                and epoch % cfg.pose_only_every == 0
             )
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            key, sub = jax.random.split(key)
-            if pose_only:
-                params, opt_state_pose, lossv, metrics = step_fn_pose(
-                    params, opt_state_pose, batch, sub, jnp.asarray(epoch)
-                )
-            else:
-                params, opt_state, lossv, metrics = step_fn(
-                    params, opt_state, batch, sub, jnp.asarray(epoch)
-                )
-            step += 1
-            fine_losses.append(metrics["fine_loss"])  # device scalar, no sync
-        avg_fine = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
+            # current_frame = num_frames + 1 once the curriculum is done
+            sample_state.update(start=cur.start_frame,
+                                end=min(cur.current_frame, cfg.num_frames),
+                                crop=crop)
+            for _ in range(cfg.steps_per_epoch):
+                batch = {k: jnp.asarray(v) for k, v in next(prefetcher).items()}
+                key, sub = jax.random.split(key)
+                if pose_only:
+                    params, opt_state_pose, lossv, metrics = step_fn_pose(
+                        params, opt_state_pose, batch, sub, jnp.asarray(epoch)
+                    )
+                else:
+                    params, opt_state, lossv, metrics = step_fn(
+                        params, opt_state, batch, sub, jnp.asarray(epoch)
+                    )
+                step += 1
+                fine_losses.append(metrics["fine_loss"])  # device scalar, no sync
+            avg_fine = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
 
-        prev_frame = cur.current_frame
-        if epoch >= cfg.precrop_iters:
-            cur = advance(cur, cur_cfg, avg_fine)
-        if cur.current_frame != prev_frame:
-            ws.log(f"curriculum: admitted frame {cur.current_frame - 1}")
-        ws.metrics.log(
-            {"train/fine_loss": avg_fine, "train/current_frame_num": cur.current_frame,
-             "epoch": epoch},
-            step,
-        )
+            prev_frame = cur.current_frame
+            if epoch >= cfg.precrop_iters:
+                cur = advance(cur, cur_cfg, avg_fine)
+            if cur.current_frame != prev_frame:
+                ws.log(f"curriculum: admitted frame {cur.current_frame - 1}")
+            ws.metrics.log(
+                {"train/fine_loss": avg_fine, "train/current_frame_num": cur.current_frame,
+                 "epoch": epoch},
+                step,
+            )
 
-        if (epoch + 1) % cfg.epoch_val == 0:
-            _validate(ws, cfg, params, star_cfg, val_data, gt_rel, rng, cur, step)
-            state = {"params": params, "opt_state": opt_state,
-                     "curriculum": ckpt.curriculum_to_dict(cur), "epoch": epoch}
-            if opt_state_pose is not None:
-                state["opt_state_pose"] = opt_state_pose
-            ckpt.save_checkpoint(ws.ckpt_dir, state, step=epoch)
+            if (epoch + 1) % cfg.epoch_val == 0:
+                _validate(ws, cfg, params, star_cfg, val_data, gt_rel, rng, cur, step)
+                state = {"params": params, "opt_state": opt_state,
+                         "curriculum": ckpt.curriculum_to_dict(cur), "epoch": epoch}
+                if opt_state_pose is not None:
+                    state["opt_state_pose"] = opt_state_pose
+                ckpt.save_checkpoint(ws.ckpt_dir, state, step=epoch)
 
-        if cur.done:
-            ws.log("all frames admitted; training complete")
-            break
+            if cur.done:
+                ws.log("all frames admitted; training complete")
+                break
+    finally:
+        prefetcher.close()
 
     state = {"params": params, "opt_state": opt_state,
              "curriculum": ckpt.curriculum_to_dict(cur), "epoch": cfg.epochs_online}

@@ -96,6 +96,7 @@ class CarlaScene:
 
         self.cfg = cfg
         self.split = split
+        self._car_pools = {}  # (start, end) -> [M, 4] (v, f, y, x) car pixels
         H, W, focal = load_intrinsics(cfg.datadir)
         self.H, self.W, self.focal = H, W, focal
         self.K = ray_ops.intrinsics_matrix(H, W, focal)
@@ -235,6 +236,15 @@ class CarlaScene:
 
     # ---------------- batch sampling ----------------
 
+    def _car_pool(self, start: int, end: int) -> np.ndarray:
+        """Cached (v, f, y, x) indices of car pixels in the frame window."""
+        key = (start, end)
+        if key not in self._car_pools:
+            m = self.semantic[:, start:end] == CAR_SEMANTIC_ID  # [V, W_f, H, W]
+            v, f, y, x = np.nonzero(m)
+            self._car_pools[key] = np.stack([v, f + start, y, x], axis=-1)
+        return self._car_pools[key]
+
     def sample_batch(
         self,
         rng: np.random.Generator,
@@ -244,10 +254,41 @@ class CarlaScene:
         car_sample_ratio: float = 0.0,
         crop: bool = False,
         frame: Optional[int] = None,
+        mixed_frames: bool = False,
     ) -> Dict[str, np.ndarray]:
         """Random ray minibatch from a random in-window frame
-        (reference __getitem__, carla_star_online__.py:287-350)."""
+        (reference __getitem__, carla_star_online__.py:287-350).
+
+        mixed_frames=True samples each ray's frame independently from the
+        window (batch["frame"] becomes an [N] int array) so every frame's
+        pose gets gradient every step — a capability the reference's
+        one-frame-per-batch sampling doesn't have."""
         V, F = self.images.shape[:2]
+        if mixed_frames and frame is None:
+            f = rng.integers(start_frame, current_frame, size=n_rand)
+            v = rng.integers(0, V, n_rand)
+            if crop:
+                y0, y1, x0, x1 = self.cfg.crop_box
+                y = rng.integers(y0, min(y1, self.H), n_rand)
+                x = rng.integers(x0, min(x1, self.W), n_rand)
+            else:
+                y = rng.integers(0, self.H, n_rand)
+                x = rng.integers(0, self.W, n_rand)
+            n_car = int(n_rand * car_sample_ratio)
+            if n_car > 0 and not crop and self.semantic is not None:
+                pool = self._car_pool(start_frame, current_frame)
+                if len(pool):
+                    picks = pool[rng.integers(0, len(pool), size=n_car)]
+                    v[:n_car], f[:n_car], y[:n_car], x[:n_car] = picks.T
+            batch = {
+                "rays_o": self.rays_o[v, y, x],
+                "rays_d": self.rays_d[v, y, x],
+                "target": self.images[v, f, y, x],
+                "frame": f.astype(np.int32),
+            }
+            if self.depths is not None:
+                batch["target_depth"] = self.depths[v, f, y, x]
+            return batch
         if frame is None:
             frame = int(rng.integers(start_frame, current_frame))
 

@@ -47,19 +47,28 @@ class BatchPrefetcher:
     def _worker(self, seed: int):
         rng = np.random.default_rng(seed)
         while not self._stop.is_set():
-            batch = self.sample_fn(rng, self.state)
+            try:
+                item = ("batch", self.sample_fn(rng, self.state))
+            except BaseException as exc:  # propagate to the consumer:
+                # a dead worker + empty queue would deadlock __next__ forever
+                item = ("error", exc)
             while not self._stop.is_set():
                 try:
-                    self._q.put(batch, timeout=0.1)
+                    self._q.put(item, timeout=0.1)
                     break
                 except queue.Full:
                     continue
+            if item[0] == "error":
+                return
 
     def __iter__(self) -> Iterator[Dict]:
         return self
 
     def __next__(self) -> Dict:
-        return self._q.get()
+        kind, payload = self._q.get()
+        if kind == "error":
+            raise RuntimeError("prefetch worker failed") from payload
+        return payload
 
     def __enter__(self):
         return self

@@ -97,6 +97,10 @@ class Config:
     # every N epochs run one pose-only epoch (fields frozen) — breaks the
     # field/pose co-adaptation plateau; 0 disables (see STATUS.md)
     pose_only_every: int = 0
+    # sample each ray's frame independently from the curriculum window so
+    # every frame's pose gets gradient every step (new capability; the
+    # reference samples one frame per batch, carla_star_online__.py:287)
+    mixed_frames: bool = False
     appearance_init_thres: float = 9e-4
     online_thres: float = 1e-3
     initial_num_frames: int = 5

@@ -25,6 +25,19 @@ def test_prefetcher_yields_batches_and_reads_state():
         assert all(f == 0 for f in frames2)
 
 
+def test_prefetcher_propagates_worker_errors():
+    """A crashing sample_fn must surface in next(), not deadlock the consumer
+    on an empty queue (this exact failure wedged a long training run)."""
+    import pytest
+
+    def bad(rng, st):
+        raise IndexError("boom")
+
+    with BatchPrefetcher(bad, {}, depth=2, workers=1) as pf:
+        with pytest.raises(RuntimeError, match="prefetch worker failed"):
+            next(pf)
+
+
 def test_prefetcher_close_idempotent():
     pf = BatchPrefetcher(lambda rng, st: {"x": 1}, {}, depth=1, workers=2)
     next(pf)

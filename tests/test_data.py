@@ -153,6 +153,17 @@ def test_carla_batch_sampling(carla_dir):
     # car-balanced sampling picks mostly car pixels when ratio=1
     b2 = scene.sample_batch(rng, 64, current_frame=1, car_sample_ratio=1.0)
     assert b2["rays_o"].shape == (64, 3)
+    # mixed-frame batches: per-ray frame indices spanning the window
+    b3 = scene.sample_batch(
+        rng, 64, start_frame=0, current_frame=N_FRAMES,
+        mixed_frames=True, car_sample_ratio=0.5,
+    )
+    assert b3["frame"].shape == (64,)
+    assert b3["frame"].min() >= 0 and b3["frame"].max() < N_FRAMES
+    assert len(np.unique(b3["frame"])) > 1
+    assert b3["target"].shape == (64, 3) and b3["target_depth"].shape == (64,)
+    pool = scene._car_pool(0, N_FRAMES)
+    assert pool.shape[1] == 4 and len(pool) > 0
 
 
 def test_carla_bbox_vertices(carla_dir):
