@@ -78,6 +78,8 @@ def main():
                          "--resume_epoch). Optimizer moments restart fresh.")
     ap.add_argument("--resume_window", type=int, default=0)
     ap.add_argument("--resume_epoch", type=int, default=0)
+    ap.add_argument("--polish_pose_decay_rate", type=float, default=0.8)
+    ap.add_argument("--polish_pose_decay_epochs", type=int, default=12)
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -214,7 +216,8 @@ def main():
     tx_polish = optim.make_fused_star_optimizer(
         online_params, lrate_static=0.0, lrate_dynamic=0.0,
         lrate_pose=args.lrate_pose, steps_per_epoch=spe,
-        pose_decay_rate=0.6, pose_decay_epochs=8,
+        pose_decay_rate=args.polish_pose_decay_rate,
+        pose_decay_epochs=args.polish_pose_decay_epochs,
         grad_clip=1.0, accumulate_steps=args.accum,
     )
     opt_polish = tx_polish.init(online_params)

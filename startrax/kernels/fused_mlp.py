@@ -485,3 +485,297 @@ def fused_field_apply(
     flat = flatten_params(params, n_blocks)
     out = _fused_apply_flat(n_blocks, tile, interpret, pe, x_emb, d_emb, *flat)
     return out[:, 0], out[:, 1:4]
+
+
+# ---------------------------------------------------------------------------
+# Stacked (K-field) kernel: all K dynamic fields in ONE pallas_call.
+#
+# The per-vehicle Python unroll costs one fwd + one bwd kernel launch per
+# field plus XLA staging copies around each (~18 ms/step measured across the
+# flagship step's 8 calls, BENCH_NOTES.md "Known headroom"). Here the grid is
+# (K, point-tiles): weight blocks are indexed by the field axis, so K fields
+# run in one launch with one set of staging copies, and the K small
+# weight-grad accumulations happen inside a single backward kernel.
+# ---------------------------------------------------------------------------
+
+
+def _take_block(ref):
+    """Read a (1, ...) weight block and drop the leading field axis."""
+    return ref[...][0]
+
+
+def _stacked_fwd_kernel(n_blocks, pe, x_ref, d_ref, *wrefs_and_out):
+    wrefs = wrefs_and_out[:-1]
+    out_ref = wrefs_and_out[-1]
+    weights = tuple(_take_block(w) for w in wrefs)
+    x_emb = x_ref[...][0]
+    d_emb = d_ref[...][0]
+    if pe is not None:
+        x_emb = _pe_encode128(x_emb, pe[0])
+        d_emb = _pe_encode128(d_emb, pe[1])
+    alpha, rgb = _forward_math(x_emb, d_emb, weights, n_blocks)
+    out_ref[...] = jnp.concatenate([alpha, rgb], axis=-1)[None]  # [1, T, 4]
+
+
+def _stacked_bwd_kernel(n_blocks, pe, x_ref, d_ref, *rest):
+    """rest = (*wrefs, g_ref, dx_ref, dd_ref, *dwrefs). Mirrors _bwd_kernel
+    with a leading field axis on every block; weight grads are zeroed at each
+    field's first point-tile (grid iterates tiles innermost)."""
+    n_w = 2 + 4 * n_blocks + 10
+    wrefs = rest[:n_w]
+    g_ref = rest[n_w]
+    dx_ref = rest[n_w + 1]
+    dd_ref = rest[n_w + 2]
+    dwrefs = rest[n_w + 3 :]
+
+    tile_idx = pl.program_id(1)
+
+    @pl.when(tile_idx == 0)
+    def _():
+        for dw in dwrefs:
+            dw[...] = jnp.zeros_like(dw)
+
+    weights = tuple(_take_block(w) for w in wrefs)
+    x_in = x_ref[...][0]
+    d_in = d_ref[...][0]
+    if pe is not None:
+        x_emb = _pe_encode128(x_in, pe[0])
+        d_emb = _pe_encode128(d_in, pe[1])
+    else:
+        x_emb, d_emb = x_in, d_in
+    alpha, rgb, acts = _forward_math(x_emb, d_emb, weights, n_blocks, save_acts=True)
+
+    it = iter(weights)
+    W_in, b_in = next(it), next(it)
+    blocks = [(next(it), next(it), next(it), next(it)) for _ in range(n_blocks)]
+    W_out, b_out = next(it), next(it)
+    W_a, b_a = next(it), next(it)
+    W_f, b_f = next(it), next(it)
+    W_v, b_v = next(it), next(it)
+    W_r, b_r = next(it), next(it)
+    width = W_in.shape[1]
+
+    g = g_ref[...][0]  # [T, 4]
+    dalpha = g[:, 0:1]
+    drgb = g[:, 1:4]
+
+    hv = jnp.maximum(acts["hv_in"], 0.0)
+    dhv = _dot(drgb, W_r.T)
+    dW_r = _dot(hv.T, drgb)
+    db_r = jnp.sum(drgb, axis=0)
+
+    dhv_in = dhv * _gt0(acts["hv_in"])
+    W_v_top = W_v[:width]
+    W_v_bot = W_v[width:]
+    dW_v_top = _dot(acts["feat"].T, dhv_in)
+    dW_v_bot = _dot(d_emb.T, dhv_in)
+    db_v = jnp.sum(dhv_in, axis=0)
+    dfeat = _dot(dhv_in, W_v_top.T)
+    dd_emb = _dot(dhv_in, W_v_bot.T)
+
+    dho = _dot(dfeat, W_f.T) + _dot(dalpha, W_a.T)
+    dW_f = _dot(acts["ho"].T, dfeat)
+    db_f = jnp.sum(dfeat, axis=0)
+    dW_a = _dot(acts["ho"].T, dalpha)
+    db_a = jnp.sum(dalpha, axis=0)
+
+    r = jnp.maximum(acts["h_last"], 0.0)
+    dr = _dot(dho, W_out.T)
+    dW_out = _dot(r.T, dho)
+    db_out = jnp.sum(dho, axis=0)
+    dh = dr * _gt0(acts["h_last"])
+
+    dblocks = []
+    for i in reversed(range(n_blocks)):
+        W0, b0, W1, b1 = blocks[i]
+        h_in, n = acts[f"blk{i}"]
+        a0 = jnp.maximum(h_in, 0.0)
+        a1 = jnp.maximum(n, 0.0)
+        da1 = _dot(dh, W1.T)
+        dW1 = _dot(a1.T, dh)
+        db1 = jnp.sum(dh, axis=0)
+        dn = da1 * _gt0(n)
+        dW0 = _dot(a0.T, dn)
+        db0 = jnp.sum(dn, axis=0)
+        da0 = _dot(dn, W0.T)
+        dh = dh + da0 * _gt0(h_in)
+        dblocks.append((dW0, db0, dW1, db1))
+    dblocks.reverse()
+
+    dx_emb = _dot(dh, W_in.T)
+    dW_in = _dot(x_emb.T, dh)
+    db_in = jnp.sum(dh, axis=0)
+
+    if pe is not None:
+        dx_ref[...] = _pe_encode128_bwd(x_in, dx_emb, pe[0])[None]
+        dd_ref[...] = _pe_encode128_bwd(d_in, dd_emb, pe[1])[None]
+    else:
+        dx_ref[...] = dx_emb[None]
+        dd_ref[...] = dd_emb[None]
+
+    dws = [dW_in, db_in]
+    for (dW0, db0, dW1, db1) in dblocks:
+        dws += [dW0, db0, dW1, db1]
+    dws += [dW_out, db_out, dW_a, db_a, dW_f, db_f,
+            jnp.concatenate([dW_v_top, dW_v_bot], axis=0), db_v, dW_r, db_r]
+    for dw_ref, dw in zip(dwrefs, dws):
+        dw_ref[...] += dw[None]
+
+
+def _pad_rows_axis1(w, n_rows):
+    if w.shape[1] == n_rows:
+        return w
+    pad = jnp.zeros((w.shape[0], n_rows - w.shape[1]) + w.shape[2:], w.dtype)
+    return jnp.concatenate([w, pad], axis=1)
+
+
+def _pad_stacked_weights_for_pe(weights):
+    """Stacked ([K, ...]) analog of _pad_weights_for_pe."""
+    ws = list(weights)
+    width = ws[0].shape[2]
+    ws[0] = _pad_rows_axis1(ws[0], 128)
+    W_v = ws[-4]
+    top, bot = W_v[:, :width], W_v[:, width:]
+    ws[-4] = jnp.concatenate([top, _pad_rows_axis1(bot, 128)], axis=1)
+    return tuple(ws)
+
+
+def _unpad_stacked_weight_grads(dws, weights):
+    dws = list(dws)
+    in_ch = weights[0].shape[1]
+    width = weights[0].shape[2]
+    view_ch = weights[-4].shape[1] - width
+    dws[0] = dws[0][:, :in_ch]
+    dws[-4] = jnp.concatenate(
+        [dws[-4][:, :width], dws[-4][:, width : width + view_ch]], axis=1
+    )
+    return tuple(dws)
+
+
+def _cast_stacked_weights(weights):
+    """Stacked leaves carry a leading [K] axis: matmul weights are ndim==3
+    (-> bf16), biases ndim==2 (stay f32)."""
+    return tuple(w.astype(jnp.bfloat16) if w.ndim == 3 else w for w in weights)
+
+
+def _stacked_specs(K, wk):
+    return [
+        pl.BlockSpec((1,) + w.shape[1:], (lambda k, i, nd=w.ndim: (k,) + (0,) * (nd - 1)))
+        for w in wk
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fused_stacked_flat(n_blocks, tile, interpret, pe, x, d, *weights):
+    return _fused_stacked_fwd_call(n_blocks, tile, interpret, pe, x, d, weights)
+
+
+def _fused_stacked_fwd_call(n_blocks, tile, interpret, pe, x, d, weights):
+    K, n = x.shape[0], x.shape[1]
+    n_pad = pl.cdiv(n, tile) * tile
+    xp = jnp.concatenate(
+        [x, jnp.zeros((K, n_pad - n, x.shape[2]), x.dtype)], axis=1
+    ) if n_pad != n else x
+    dp = jnp.concatenate(
+        [d, jnp.zeros((K, n_pad - n, d.shape[2]), d.dtype)], axis=1
+    ) if n_pad != n else d
+    grid = (K, n_pad // tile)
+    wk = _cast_stacked_weights(weights)
+    if pe is not None:
+        wk = _pad_stacked_weights_for_pe(wk)
+
+    out = pl.pallas_call(
+        functools.partial(_stacked_fwd_kernel, n_blocks, pe),
+        out_shape=jax.ShapeDtypeStruct((K, n_pad, 4), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, x.shape[2]), lambda k, i: (k, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, d.shape[2]), lambda k, i: (k, i, 0), memory_space=pltpu.VMEM),
+            *_stacked_specs(K, wk),
+        ],
+        out_specs=pl.BlockSpec((1, tile, 4), lambda k, i: (k, i, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, dp, *wk)
+    return out[:, :n]
+
+
+def _fused_stacked_fwd_rule(n_blocks, tile, interpret, pe, x, d, *weights):
+    out = _fused_stacked_fwd_call(n_blocks, tile, interpret, pe, x, d, weights)
+    return out, (x, d, weights)
+
+
+def _fused_stacked_bwd_rule(n_blocks, tile, interpret, pe, residuals, g):
+    x, d, weights = residuals
+    K, n = x.shape[0], x.shape[1]
+    n_pad = pl.cdiv(n, tile) * tile
+
+    def pad(a):
+        if n_pad == n:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((K, n_pad - n, a.shape[2]), a.dtype)], axis=1
+        )
+
+    xp, dp, gp = pad(x), pad(d), pad(g)
+    grid = (K, n_pad // tile)
+    wk = _cast_stacked_weights(weights)
+    if pe is not None:
+        wk = _pad_stacked_weights_for_pe(wk)
+
+    dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wk]
+    dw_specs = _stacked_specs(K, wk)
+
+    outs = pl.pallas_call(
+        functools.partial(_stacked_bwd_kernel, n_blocks, pe),
+        out_shape=(
+            jax.ShapeDtypeStruct((K, n_pad, x.shape[2]), jnp.float32),
+            jax.ShapeDtypeStruct((K, n_pad, d.shape[2]), jnp.float32),
+            *dw_shapes,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile, x.shape[2]), lambda k, i: (k, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, d.shape[2]), lambda k, i: (k, i, 0), memory_space=pltpu.VMEM),
+            *_stacked_specs(K, wk),
+            pl.BlockSpec((1, tile, 4), lambda k, i: (k, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, x.shape[2]), lambda k, i: (k, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, d.shape[2]), lambda k, i: (k, i, 0), memory_space=pltpu.VMEM),
+            *dw_specs,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, dp, *wk, gp)
+
+    dx = outs[0][:, :n]
+    dd = outs[1][:, :n]
+    dweights = outs[2:]
+    if pe is not None:
+        dweights = _unpad_stacked_weight_grads(dweights, weights)
+    return (dx, dd, *dweights)
+
+
+_fused_stacked_flat.defvjp(_fused_stacked_fwd_rule, _fused_stacked_bwd_rule)
+
+
+def fused_stacked_apply(
+    params_stacked: Dict[str, Any],
+    x,
+    d,
+    n_blocks: int,
+    tile: int = DEFAULT_TILE,
+    interpret: bool | None = None,
+    pe=None,
+):
+    """K stacked fields (leaves have a leading [K] axis, models/fields.
+    init_stacked_fields) evaluated in ONE kernel launch.
+
+    x: [K, N, in_ch], d: [K, N, view_ch] (raw [K, N, 3] with pe set) ->
+    (raw_alpha [K, N], raw_rgb [K, N, 3]). Differentiable (custom VJP)."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    flat = flatten_params(params_stacked, n_blocks)
+    out = _fused_stacked_flat(n_blocks, tile, interpret, pe, x, d, *flat)
+    return out[..., 0], out[..., 1:4]

@@ -146,6 +146,59 @@ def test_stacked_fields_fused_matches_vmap():
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
 
 
+def test_stacked_fused_grads_match_vmap():
+    """The single-launch K-field kernel's weight/input/pose-path gradients
+    match the vmapped XLA fields."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, use_fused=True)
+    stacked = fields.init_stacked_fields(jax.random.PRNGKey(8), cfg, 3)
+    stacked = jax.tree.map(
+        lambda x: x + 0.01 * jax.random.normal(jax.random.PRNGKey(9), x.shape), stacked
+    )
+    rng = np.random.default_rng(9)
+    pts = jnp.asarray(rng.normal(size=(3, 4, 8, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(3, 4, 3)).astype(np.float32))
+
+    def loss(cfg_):
+        def f(p, x):
+            a, r = fields.apply_stacked_fields(p, cfg_, x, dirs)
+            return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+        return f
+
+    g_fused_w, g_fused_x = jax.grad(loss(cfg), argnums=(0, 1))(stacked, pts)
+
+    # exact check: the K-field kernel == the per-field fused kernel unrolled
+    # (identical bf16 math, just one launch instead of K)
+    from startrax.kernels.fused_mlp import fused_field_apply
+
+    def loss_unrolled(p, x):
+        tot = 0.0
+        for k in range(3):
+            pk = jax.tree.map(lambda w, k=k: w[k], p)
+            xk = x[k].reshape(-1, 3)
+            dk = jnp.broadcast_to(dirs[k][:, None, :], x[k].shape).reshape(-1, 3)
+            a, r = fused_field_apply(
+                pk, xk, dk, CFG.n_blocks, tile=32, interpret=True,
+                pe=(CFG.multires, CFG.multires_views),
+            )
+            tot = tot + jnp.sum(jnp.sin(a.reshape(x[k].shape[:2]))) + jnp.sum(r ** 2)
+        return tot
+
+    g_un_w, g_un_x = jax.grad(loss_unrolled, argnums=(0, 1))(stacked, pts)
+    np.testing.assert_allclose(np.asarray(g_fused_x), np.asarray(g_un_x),
+                               atol=1e-4, rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(g_fused_w), jax.tree.leaves(g_un_w)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4)
+
+    # sanity vs the f32 XLA path: bf16 recompute noise is amplified by the
+    # 2^9 PE frequency scale, so bound the error relative to the grad scale
+    g_xla_w, g_xla_x = jax.grad(loss(CFG), argnums=(0, 1))(stacked, pts)
+    err = float(jnp.max(jnp.abs(g_fused_x - g_xla_x)))
+    scale = float(jnp.max(jnp.abs(g_xla_x)))
+    assert err < 0.02 * scale, (err, scale)
+
+
 def test_fused_pe_in_kernel_matches_xla():
     params, pts, dirs, emb, emb_d = _setup(seed=6)
     a_ref, r_ref = fields.apply_field(params, CFG, pts, dirs)
