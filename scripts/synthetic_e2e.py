@@ -80,6 +80,9 @@ def main():
     ap.add_argument("--resume_epoch", type=int, default=0)
     ap.add_argument("--polish_pose_decay_rate", type=float, default=0.8)
     ap.add_argument("--polish_pose_decay_epochs", type=int, default=12)
+    ap.add_argument("--appinit_ckpt", default="",
+                    help="restore appearance-init params from this checkpoint "
+                         "dir instead of training stage 1")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -107,7 +110,12 @@ def main():
 
     # ---------------- stage 1: appearance init ----------------
     appinit_psnr = float("nan")
-    if not args.resume_from:
+    if args.appinit_ckpt and not args.resume_from:
+        params = init_star(key, cfg)
+        params = ckpt_mod.restore_checkpoint(
+            args.appinit_ckpt, template={"params": params})["params"]
+        print(f"appearance init restored from {args.appinit_ckpt}", flush=True)
+    elif not args.resume_from:
         params = init_star(key, cfg)
         tx = optim.make_appinit_optimizer(5e-4, steps_per_epoch=spe, decay_epochs=20, params=params)
         opt_state = tx.init(params)
@@ -136,6 +144,9 @@ def main():
         appinit_steps = step
 
         pf_init.close()
+
+        ckpt_mod.save_checkpoint(os.path.join(args.out, "ckpt_appinit"),
+                                 {"params": params}, step=0)
 
         # static val render
         out = render_image(params, cfg, rays_o, rays_d, pose=None)

@@ -619,7 +619,7 @@ def _stacked_bwd_kernel(n_blocks, pe, x_ref, d_ref, *rest):
     dws += [dW_out, db_out, dW_a, db_a, dW_f, db_f,
             jnp.concatenate([dW_v_top, dW_v_bot], axis=0), db_v, dW_r, db_r]
     for dw_ref, dw in zip(dwrefs, dws):
-        dw_ref[...] += dw[None]
+        dw_ref[...] += dw.reshape(dw_ref.shape)
 
 
 def _pad_rows_axis1(w, n_rows):
@@ -658,6 +658,15 @@ def _cast_stacked_weights(weights):
     return tuple(w.astype(jnp.bfloat16) if w.ndim == 3 else w for w in weights)
 
 
+def _lift_biases(wk):
+    """Biases [K, W] -> [K, 1, W]: TPU Pallas requires the last two block
+    dims divisible by (8, 128) or equal to the array dims, which a (1, W)
+    per-field block of a 2-D [K, W] array violates; a (1, 1, W) block of a
+    3-D array satisfies it (dims equal). [1, W] broadcasts like [W] in the
+    kernel math."""
+    return tuple(w if w.ndim == 3 else w[:, None, :] for w in wk)
+
+
 def _stacked_specs(K, wk):
     return [
         pl.BlockSpec((1,) + w.shape[1:], (lambda k, i, nd=w.ndim: (k,) + (0,) * (nd - 1)))
@@ -683,6 +692,7 @@ def _fused_stacked_fwd_call(n_blocks, tile, interpret, pe, x, d, weights):
     wk = _cast_stacked_weights(weights)
     if pe is not None:
         wk = _pad_stacked_weights_for_pe(wk)
+    wk = _lift_biases(wk)
 
     out = pl.pallas_call(
         functools.partial(_stacked_fwd_kernel, n_blocks, pe),
@@ -722,6 +732,8 @@ def _fused_stacked_bwd_rule(n_blocks, tile, interpret, pe, residuals, g):
     wk = _cast_stacked_weights(weights)
     if pe is not None:
         wk = _pad_stacked_weights_for_pe(wk)
+    wk2d = wk  # padded shapes before the bias lift (grad reshape target)
+    wk = _lift_biases(wk)
 
     dw_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in wk]
     dw_specs = _stacked_specs(K, wk)
@@ -751,7 +763,7 @@ def _fused_stacked_bwd_rule(n_blocks, tile, interpret, pe, residuals, g):
 
     dx = outs[0][:, :n]
     dd = outs[1][:, :n]
-    dweights = outs[2:]
+    dweights = tuple(dw.reshape(w.shape) for dw, w in zip(outs[2:], wk2d))
     if pe is not None:
         dweights = _unpad_stacked_weight_grads(dweights, weights)
     return (dx, dd, *dweights)
