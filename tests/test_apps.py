@@ -108,6 +108,18 @@ def test_online_smoke_with_curriculum_and_ckpt(tmp_path):
     assert (run_dir / "ckpts").exists()
 
 
+def test_online_mixed_frames_smoke(tmp_path):
+    """Online app with per-ray mixed-frame batches trains end-to-end."""
+    from startrax.apps import online
+
+    cfg = _tiny_synthetic_cfg(
+        tmp_path, epochs_online=2, online_thres=1e-12, mixed_frames=True,
+        car_sample_ratio=0.3,
+    )
+    params = online.train(cfg)
+    assert params["poses"].shape[0] == cfg.num_frames - 1
+
+
 def test_nerf_time_smoke(tmp_path):
     from startrax.apps import nerf_time
 
