@@ -83,6 +83,9 @@ def main():
     ap.add_argument("--appinit_ckpt", default="",
                     help="restore appearance-init params from this checkpoint "
                          "dir instead of training stage 1")
+    ap.add_argument("--reference_numerics", action="store_true",
+                    help="composite with the reference's pre-activation "
+                         "density sum (A/B lever, see ops/compositing.py)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -100,6 +103,7 @@ def main():
         n_samples=args.samples, n_importance=args.samples,
         near=scene.near, far=scene.far,
         compute_dtype=jnp.float32 if args.cpu else jnp.bfloat16,
+        reference_numerics=args.reference_numerics,
     )
     rng = np.random.default_rng(42)
     key = jax.random.PRNGKey(42)
