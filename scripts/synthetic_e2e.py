@@ -86,6 +86,14 @@ def main():
     ap.add_argument("--reference_numerics", action="store_true",
                     help="composite with the reference's pre-activation "
                          "density sum (A/B lever, see ops/compositing.py)")
+    ap.add_argument("--end_barf", type=int, default=12,
+                    help="BARF coarse-to-fine warmup epochs on the DYNAMIC "
+                         "fields: low-frequency-first fields widen the pose "
+                         "basins of attraction past the vehicle texture's "
+                         "local minima (validated: the analytic-field pose "
+                         "diagnostic converges 0.088 -> 1e-6 with a coarse "
+                         "stage, but locks onto the wrong texture stripe "
+                         "without one); 0 disables")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -200,6 +208,18 @@ def main():
     )
     ostep = loop.make_online_train_step(cfg, loss_cfg, tx2)
 
+    # BARF warmup variant: identical step but the dynamic fields' positional
+    # encoding is coarse-to-fine masked by the epoch index (the static field
+    # always sees full frequencies — it is already trained). A separate full-
+    # frequency step (above) takes over after the warmup so the fused
+    # in-kernel-PE path runs at full speed for the rest of training.
+    ostep_barf = None
+    if args.end_barf > 0:
+        import dataclasses as _dc
+
+        cfg_barf = _dc.replace(cfg, end_barf=args.end_barf)
+        ostep_barf = loop.make_online_train_step(cfg_barf, loss_cfg, tx2)
+
     # pose-only refinement: identical step with field LRs pinned to zero —
     # breaks the field/pose co-adaptation race (round-1 gap #1)
     tx_pose = optim.make_fused_star_optimizer(
@@ -272,18 +292,23 @@ def main():
     online_params_box = [online_params]
     while time.time() < deadline:
         in_polish = cur.done
+        in_barf = ostep_barf is not None and epoch < args.end_barf
         if in_polish and polish_start is None:
             polish_start = time.time()
             print("curriculum complete -> pose-polish stage", flush=True)
         if in_polish:
             # 1 joint field-refresh epoch per 3 pose-only polish epochs
             pose_only = (epoch % 4) != 0
+        elif in_barf:
+            pose_only = False  # warmup: joint only, coarse-to-fine fields
         else:
             pose_only = args.pose_only_every > 0 and epoch > 0 and (
                 epoch % args.pose_only_every == 0)
 
         ep_t0 = time.time()
-        if in_polish and pose_only:
+        if in_barf:
+            opt2, avg = run_epoch(ostep_barf, opt2, args.car_ratio, epoch)
+        elif in_polish and pose_only:
             opt_polish, avg = run_epoch(ostep_polish, opt_polish,
                                         args.car_ratio_pose, epoch)
         elif pose_only:
@@ -300,7 +325,8 @@ def main():
                         "pose_only": bool(pose_only), "polish": bool(in_polish),
                         "trans": [round(t, 5) for t in trans_err],
                         "rot": [round(r, 5) for r in rot_err]})
-        tag = " [polish]" if in_polish else (" [pose-only]" if pose_only else "")
+        tag = " [polish]" if in_polish else (
+            " [pose-only]" if pose_only else (" [barf]" if in_barf else ""))
         print(
             f"online epoch {epoch}{tag}: "
             f"fine={avg:.5f} window={cur.current_frame} "
