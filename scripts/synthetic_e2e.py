@@ -218,7 +218,10 @@ def main():
         import dataclasses as _dc
 
         cfg_barf = _dc.replace(cfg, end_barf=args.end_barf)
-        ostep_barf = loop.make_online_train_step(cfg_barf, loss_cfg, tx2)
+        # rotations frozen during warmup: a blurred dynamic field is nearly
+        # rotation-symmetric, so rotation gradients are noise and random-walk
+        ostep_barf = loop.make_online_train_step(
+            cfg_barf, loss_cfg, tx2, freeze_rot=True)
 
     # pose-only refinement: identical step with field LRs pinned to zero —
     # breaks the field/pose co-adaptation race (round-1 gap #1)

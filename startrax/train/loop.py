@@ -135,13 +135,17 @@ def init_online_params(key, star_cfg: StarConfig, num_frames: int, init_poses=No
 
 
 def make_online_train_step(
-    star_cfg: StarConfig, loss_cfg: LossConfig, tx, trans_only: bool = False
+    star_cfg: StarConfig, loss_cfg: LossConfig, tx, trans_only: bool = False,
+    freeze_rot: bool = False,
 ):
     """Returns jittable (params, opt_state, batch, key, epoch) -> updated.
 
     trans_only=True pins every pose quaternion to identity and optimizes
     translations only — the reference's star_trans variant
-    (models/star_trans.py)."""
+    (models/star_trans.py). freeze_rot=True keeps each pose's CURRENT
+    rotation (quaternion updates discarded, translations free) — used during
+    coarse-to-fine warmup, where a blurred dynamic field is nearly
+    rotation-symmetric and rotation gradients are noise."""
 
     def loss_fn(params, batch, key, epoch):
         pose = gather_frame_pose(params["poses"], batch["frame"], star_cfg.num_vehicles)
@@ -153,6 +157,7 @@ def make_online_train_step(
 
     @jax.jit
     def train_step(params, opt_state, batch, key, epoch):
+        q_before = params["poses"][..., 3:7]
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, key, epoch
         )
@@ -163,6 +168,8 @@ def make_online_train_step(
         if trans_only:
             ident = jnp.zeros_like(params["poses"][..., 3:7]).at[..., 3].set(1.0)
             params["poses"] = params["poses"].at[..., 3:7].set(ident)
+        elif freeze_rot:
+            params["poses"] = params["poses"].at[..., 3:7].set(q_before)
         else:
             q = params["poses"][..., 3:7]
             params["poses"] = params["poses"].at[..., 3:7].set(lie.quat_normalize(q))
