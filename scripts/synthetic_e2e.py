@@ -86,6 +86,9 @@ def main():
     ap.add_argument("--reference_numerics", action="store_true",
                     help="composite with the reference's pre-activation "
                          "density sum (A/B lever, see ops/compositing.py)")
+    ap.add_argument("--pose_delay_epochs", type=int, default=4,
+                    help="freeze ALL pose updates for the first N epochs so "
+                         "the dynamic fields form before poses see gradients")
     ap.add_argument("--end_barf", type=int, default=12,
                     help="BARF coarse-to-fine warmup epochs on the DYNAMIC "
                          "fields: low-frequency-first fields widen the pose "
@@ -222,6 +225,16 @@ def main():
         # rotation-symmetric, so rotation gradients are noise and random-walk
         ostep_barf = loop.make_online_train_step(
             cfg_barf, loss_cfg, tx2, freeze_rot=True)
+        # field-forming phase: poses completely frozen (zero pose LR) while
+        # the coarse dynamic fields take shape
+        tx_fieldform = optim.make_fused_star_optimizer(
+            online_params, lrate_static=1e-4, lrate_dynamic=args.lrate_dynamic,
+            lrate_pose=0.0, steps_per_epoch=spe, grad_clip=1.0,
+            accumulate_steps=args.accum,
+        )
+        opt_fieldform = tx_fieldform.init(online_params)
+        ostep_fieldform = loop.make_online_train_step(
+            cfg_barf, loss_cfg, tx_fieldform)
 
     # pose-only refinement: identical step with field LRs pinned to zero —
     # breaks the field/pose co-adaptation race (round-1 gap #1)
@@ -309,7 +322,10 @@ def main():
                 epoch % args.pose_only_every == 0)
 
         ep_t0 = time.time()
-        if in_barf:
+        if in_barf and epoch < args.pose_delay_epochs:
+            opt_fieldform, avg = run_epoch(ostep_fieldform, opt_fieldform,
+                                           args.car_ratio, epoch)
+        elif in_barf:
             opt2, avg = run_epoch(ostep_barf, opt2, args.car_ratio, epoch)
         elif in_polish and pose_only:
             opt_polish, avg = run_epoch(ostep_polish, opt_polish,
