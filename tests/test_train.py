@@ -202,6 +202,27 @@ def test_mixed_frame_pose_matches_shared_pose():
                                atol=1e-6)
 
 
+def test_freeze_rot_keeps_rotations_moves_translations():
+    """freeze_rot training steps keep each pose's current quaternion while
+    translations stay free (coarse-to-fine warmup behavior)."""
+    from startrax.train import optim
+
+    params = loop.init_online_params(jax.random.PRNGKey(6), CFG, num_frames=4)
+    params["poses"] = params["poses"] + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(7), params["poses"].shape)
+    q0 = np.asarray(params["poses"][..., 3:7]).copy()
+    t0 = np.asarray(params["poses"][..., :3]).copy()
+    tx = optim.make_fused_star_optimizer(params, 5e-3, 5e-3, 5e-3)
+    opt_state = tx.init(params)
+    step = loop.make_online_train_step(CFG, loop.LossConfig(), tx, freeze_rot=True)
+    b = _batch(n=16, with_frame=True)
+    for i in range(2):
+        params, opt_state, lossv, m = step(
+            params, opt_state, b, jax.random.PRNGKey(i), jnp.asarray(0))
+    np.testing.assert_array_equal(np.asarray(params["poses"][..., 3:7]), q0)
+    assert not np.allclose(np.asarray(params["poses"][..., :3]), t0)
+
+
 def test_gather_frame_pose_pins_frame0_identity():
     poses = jnp.asarray(np.random.default_rng(4).normal(size=(3, 2, 7)).astype(np.float32))
     p0 = loop.gather_frame_pose(poses, jnp.asarray(0), 2)
