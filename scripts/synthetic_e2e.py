@@ -45,6 +45,13 @@ def main():
     ap.add_argument("--vehicles", type=int, default=2)
     ap.add_argument("--lrate_pose", type=float, default=5e-4)
     ap.add_argument("--lrate_dynamic", type=float, default=5e-4)
+    ap.add_argument("--lrate_static", type=float, default=1e-4,
+                    help="online static-field LR; raise to let the static "
+                         "field carve out the frame-0 vehicle ghosts")
+    ap.add_argument("--lambda_alpha_entropy", type=float, default=1e-3)
+    ap.add_argument("--lambda_dvs", type=float, default=1e-3,
+                    help="dynamic-vs-static separation regularizer weight")
+    ap.add_argument("--lambda_static_reg", type=float, default=0.0)
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--pose_only_every", type=int, default=3,
                     help="every N epochs, run one pose-only epoch (fields frozen)")
@@ -199,14 +206,17 @@ def main():
     gt_rel = np.swapaxes(data.gt_relative_poses(), 0, 1)  # [F, K, 7]
 
     tx2 = optim.make_fused_star_optimizer(
-        online_params, lrate_static=1e-4, lrate_dynamic=args.lrate_dynamic,
+        online_params, lrate_static=args.lrate_static,
+        lrate_dynamic=args.lrate_dynamic,
         lrate_pose=args.lrate_pose,
         steps_per_epoch=spe, decay_milestones=[60], grad_clip=1.0,
         accumulate_steps=args.accum,
     )
     opt2 = tx2.init(online_params)
     loss_cfg = loop.LossConfig(
-        lambda_alpha_entropy=1e-3, lambda_dynamic_vs_static_reg=1e-3,
+        lambda_alpha_entropy=args.lambda_alpha_entropy,
+        lambda_dynamic_vs_static_reg=args.lambda_dvs,
+        lambda_static_reg=args.lambda_static_reg,
         lambda_ray_reg=1e-5,
     )
     ostep = loop.make_online_train_step(cfg, loss_cfg, tx2)
@@ -228,7 +238,8 @@ def main():
         # field-forming phase: poses completely frozen (zero pose LR) while
         # the coarse dynamic fields take shape
         tx_fieldform = optim.make_fused_star_optimizer(
-            online_params, lrate_static=1e-4, lrate_dynamic=args.lrate_dynamic,
+            online_params, lrate_static=args.lrate_static,
+            lrate_dynamic=args.lrate_dynamic,
             lrate_pose=0.0, steps_per_epoch=spe, grad_clip=1.0,
             accumulate_steps=args.accum,
         )
