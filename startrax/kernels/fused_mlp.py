@@ -500,8 +500,13 @@ def fused_field_apply(
 
 
 def _take_block(ref):
-    """Read a (1, ...) weight block and drop the leading field axis."""
-    return ref[...][0]
+    """Read a (1, ...) weight block and drop the leading field axis; lifted
+    biases ([1, 1, W] blocks) also drop their singleton row so kernel math
+    adds a plain [W] vector instead of broadcasting [1, W]."""
+    w = ref[...][0]
+    if w.ndim == 2 and w.shape[0] == 1:
+        w = w[0]
+    return w
 
 
 def _stacked_fwd_kernel(n_blocks, pe, x_ref, d_ref, *wrefs_and_out):

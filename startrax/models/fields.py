@@ -219,9 +219,11 @@ def apply_stacked_fields(params: Params, cfg: FieldConfig, pts, viewdirs, step=N
     pts: [n, R, S, 3], viewdirs: [n, R, 3] ->
     (raw_alpha [n, R, S], raw_rgb [n, R, S, 3]).
 
-    The fused-kernel path evaluates all n fields in ONE pallas_call (grid =
-    (n, point-tiles), weight blocks indexed by the field axis) — one launch
-    and one set of staging copies instead of n of each; the XLA path vmaps.
+    The fused-kernel path unrolls the (small, static) vehicle axis in Python;
+    the XLA path vmaps. A single-launch variant evaluating all n fields in
+    one pallas_call exists (kernels.fused_mlp.fused_stacked_apply, exact
+    parity) but measured ~5% SLOWER than the unroll at the flagship K=2
+    (BENCH_NOTES.md round 2) — revisit for larger K.
     """
     import chex
 
@@ -229,22 +231,17 @@ def apply_stacked_fields(params: Params, cfg: FieldConfig, pts, viewdirs, step=N
     chex.assert_shape(pts, (n, R, S, 3))
     chex.assert_shape(viewdirs, (n, R, 3))
     if _resolve_use_fused(cfg):
-        from ..kernels.fused_mlp import fused_stacked_apply
-
-        x = pts.reshape(n, R * S, 3)
-        dirs = jnp.broadcast_to(viewdirs[:, :, None, :], (n, R, S, 3)).reshape(n, R * S, 3)
-        barf_active = step is not None and cfg.end_barf > 0
-        if not barf_active:
-            raw_alpha, raw_rgb = fused_stacked_apply(
-                params, x, dirs, cfg.n_blocks, pe=(cfg.multires, cfg.multires_views)
+        outs = [
+            apply_field(
+                jax.tree.map(lambda x, k=k: x[k], params), cfg, pts[k], viewdirs[k],
+                step=step,
             )
-        else:
-            emb = positional_encoding(x, cfg.multires, step=step, end_barf=cfg.end_barf)
-            emb_dirs = positional_encoding(
-                dirs, cfg.multires_views, step=step, end_barf=cfg.end_barf
-            )
-            raw_alpha, raw_rgb = fused_stacked_apply(params, emb, emb_dirs, cfg.n_blocks)
-        return raw_alpha.reshape(n, R, S), raw_rgb.reshape(n, R, S, 3)
+            for k in range(n)
+        ]
+        return (
+            jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]),
+        )
     return jax.vmap(lambda p, x, v: apply_field(p, cfg, x, v, step=step))(
         params, pts, viewdirs
     )
