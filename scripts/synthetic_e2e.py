@@ -114,7 +114,8 @@ def main():
         num_vehicles=args.vehicles, num_frames=8, H=args.height, W=args.height,
         focal=float(args.height),
     )
-    data = SyntheticAdapter(scene, num_views=8)
+    data = SyntheticAdapter(scene, num_views=8,
+                            cache_dir="/tmp/startrax_synth_cache")
     cfg = StarConfig(
         num_vehicles=args.vehicles, netdepth=8, netdepth_fine=8,
         netwidth=args.width, netwidth_fine=args.width,

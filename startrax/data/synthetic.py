@@ -235,9 +235,26 @@ class SyntheticAdapter:
     """Dataset-style facade over SyntheticScene matching CarlaScene's
     sampling API (used by the apps and tests)."""
 
-    def __init__(self, scene: SyntheticScene, num_views: int = 6):
+    def __init__(self, scene: SyntheticScene, num_views: int = 6,
+                 cache_dir: str = ""):
         self.scene = scene
-        self.data = scene.make_dataset(num_views=num_views)
+        if cache_dir:
+            import os
+
+            key = (f"synth_v{num_views}_f{scene.num_frames}_h{scene.H}"
+                   f"_w{scene.W}_k{scene.num_vehicles}_m{scene.n_march}.npz")
+            path = os.path.join(cache_dir, key)
+            if os.path.exists(path):
+                with np.load(path) as z:
+                    self.data = {k: z[k] for k in z.files}
+            else:
+                self.data = scene.make_dataset(num_views=num_views)
+                os.makedirs(cache_dir, exist_ok=True)
+                tmp = path + ".tmp.npz"
+                np.savez(tmp, **self.data)
+                os.replace(tmp, path)
+        else:
+            self.data = scene.make_dataset(num_views=num_views)
         self.images = self.data["images"]
         self.rays_o = self.data["rays_o"]
         self.rays_d = self.data["rays_d"]
