@@ -70,16 +70,36 @@ def main():
     params, opt_state, lossv, _ = train_step(params, opt_state, batch, key, epoch)
     float(lossv)
 
-    # timed steps: chain on device, one host fetch at the end
-    n_steps = 50
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        key, sub = jax.random.split(key)
-        params, opt_state, lossv, _ = train_step(params, opt_state, batch, sub, epoch)
-    float(lossv)
-    dt = time.perf_counter() - t0
+    # Median-of-N protocol: the tunneled chip is bimodal (healthy ~7.8k vs a
+    # degraded relay mode ~3.0k rays/s lasting minutes — BENCH_NOTES.md), so
+    # a single timed block is not comparable across runs. Time several
+    # blocks (each chained on device, one host fetch at the end); if the
+    # spread marks two modes, report the median of the healthy (upper) mode.
+    n_steps, n_blocks = 30, 7
+    block_rps = []
+    for b in range(n_blocks):
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            key, sub = jax.random.split(key)
+            params, opt_state, lossv, _ = train_step(
+                params, opt_state, batch, sub, epoch)
+        float(lossv)
+        block_rps.append(N_RAND * n_steps / (time.perf_counter() - t0))
 
-    rays_per_sec = N_RAND * n_steps / dt
+    block_rps.sort()
+    if block_rps[-1] / max(block_rps[0], 1e-9) > 1.4:
+        # bimodal: keep blocks within 20% of the fastest (healthy mode)
+        healthy = [r for r in block_rps if r > 0.8 * block_rps[-1]]
+        import sys
+
+        print(
+            f"bench: degraded relay mode detected — blocks "
+            f"{[round(r) for r in block_rps]}, using {len(healthy)} healthy",
+            file=sys.stderr,
+        )
+    else:
+        healthy = block_rps
+    rays_per_sec = float(np.median(healthy))
     print(
         json.dumps(
             {

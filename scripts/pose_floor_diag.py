@@ -1,0 +1,190 @@
+"""Field-quality bound on the pose-error floor (VERDICT r2 #1 diagnostic).
+
+Two stages on the synthetic benchmark scene:
+
+1. Train the radiance fields at EXACT ground-truth poses (load_gt_poses;
+   pose LR pinned to 0) through the production online app — this yields the
+   best fields the training budget can buy, with zero pose-error bias.
+2. Freeze those fields and optimize poses alone from the standard noisy
+   init (coarse-to-fine: BARF-masked dynamic fields first, then full
+   frequency — same escape hatch the analytic diagnostic validated in
+   scripts/pose_observability_diag.py).
+
+Interpretation: if stage 2 converges near zero, the pose machinery + loss
+geometry support exact recovery and the production floor is FIELD QUALITY —
+fields trained under wrong poses bias the photometric optimum — so
+block-coordinate alternation (apps/online.py polish_mode=alternate) must
+contract it. If stage 2 itself floors, that residual bounds what ANY
+training schedule can reach at this scene/resolution/budget.
+
+Usage: python scripts/pose_floor_diag.py [--minutes 40] [--out artifacts/...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CONFIG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "startrax", "configs", "synthetic_star_online.txt")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=40.0,
+                    help="stage-1 field-training budget")
+    ap.add_argument("--pose_its", type=int, default=4000,
+                    help="stage-2 pose-only steps (split coarse/fine)")
+    ap.add_argument("--out", default="/tmp/startrax_floor")
+    ap.add_argument("--fields_ckpt", default="",
+                    help="reuse stage-1 fields from this checkpoint dir")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    os.makedirs(args.out, exist_ok=True)
+
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from startrax.apps.common import make_dataset, host_prng
+    from startrax.eval.pose import get_pose_metrics_multi
+    from startrax.train import checkpoint as ckpt
+    from startrax.train import loop, optim
+    from startrax.utils.config import load_config, star_config_from, loss_config_from
+
+    overrides = []
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        overrides += [f"--{k}", v]
+
+    base_argv = ["--config", CONFIG, "--basedir", args.out,
+                 "--expname", "floor"]
+
+    cfg = load_config(base_argv + overrides)
+    star_cfg = dc.replace(star_config_from(cfg), end_barf=-1)
+    # coarse stage: dynamic-field PE masked to low frequencies (epoch 0 of
+    # an end_barf=2 ramp) — the texture-local-minima escape
+    star_cfg_coarse = dc.replace(star_cfg, end_barf=2)
+    loss_cfg = loss_config_from(cfg)
+
+    train_data = make_dataset(cfg, "train")
+    gt_rel = np.swapaxes(train_data.gt_relative_poses(), 0, 1)  # [F, K, 7]
+
+    rng, key = host_prng(cfg.seed)
+    params = loop.init_online_params(key, star_cfg, cfg.num_frames)
+
+    # ------------- stage 1: fields at EXACT GT poses, full window -------------
+    # No curriculum needed (there is no tracking problem to bootstrap): train
+    # the joint step with pose LR 0, GT poses pinned, all frames mixed per
+    # ray, for the whole minute budget.
+    fields_ckpt = args.fields_ckpt
+    if not fields_ckpt:
+        params["poses"] = jnp.asarray(gt_rel[1:])
+        tx1 = optim.make_fused_star_optimizer(
+            params, lrate_static=cfg.lrate_static,
+            lrate_dynamic=cfg.lrate_dynamic, lrate_pose=0.0,
+            decay_rate=cfg.lrate_decay_rate, decay_epochs=cfg.lrate_decay,
+            steps_per_epoch=cfg.steps_per_epoch, grad_clip=1.0)
+        opt1 = tx1.init(params)
+        step1 = loop.make_online_train_step(star_cfg, loss_cfg, tx1)
+        s_rng = np.random.default_rng(cfg.seed + 7)
+        deadline = time.time() + args.minutes * 60
+        it = 0
+        while time.time() < deadline:
+            batch = train_data.sample_batch(
+                s_rng, cfg.N_rand, start_frame=0,
+                current_frame=cfg.num_frames, mixed_frames=True,
+                car_sample_ratio=cfg.car_sample_ratio,
+                ghost_sample_ratio=cfg.ghost_sample_ratio,
+                frame0_sample_ratio=cfg.frame0_sample_ratio)
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            key, sub = jax.random.split(key)
+            params, opt1, lossv, m = step1(params, opt1, batch, sub,
+                                           jnp.asarray(it // cfg.steps_per_epoch))
+            it += 1
+            if it % 500 == 0:
+                print(f"stage1 it {it}: fine={float(m['fine_loss']):.6f}",
+                      flush=True)
+        fields_ckpt = os.path.join(args.out, "gt_fields_ckpt")
+        ckpt.save_checkpoint(fields_ckpt, {"params": params}, step=0)
+        print(f"stage 1 done ({it} steps) -> {fields_ckpt}", flush=True)
+    else:
+        saved = ckpt.restore_checkpoint(fields_ckpt, None)
+        saved_params = saved["params"] if "params" in saved else saved
+        params["nerf"] = jax.tree.map(jnp.asarray, saved_params["nerf"])
+
+    # ------------- stage 2: poses vs frozen GT-trained fields -------------
+
+    noisy = train_data.noisy_gt_relative_poses(rng)  # [K, F, 7]
+    params["poses"] = jnp.asarray(np.swapaxes(noisy, 0, 1)[1:])
+
+    def errs(poses):
+        t, r, *_ = get_pose_metrics_multi(np.asarray(poses), gt_rel[1:])
+        return [round(float(x), 6) for x in t], [round(float(x), 6) for x in r]
+
+    init_trans, init_rot = errs(params["poses"])
+    print(f"stage 2 init: trans={init_trans} rot={init_rot}", flush=True)
+
+    tx = optim.make_fused_star_optimizer(
+        params, lrate_static=0.0, lrate_dynamic=0.0,
+        lrate_pose=cfg.lrate_pose, pose_decay_rate=0.9,
+        pose_decay_epochs=8, steps_per_epoch=cfg.steps_per_epoch,
+        grad_clip=1.0, accumulate_steps=cfg.accumulate_grad_batches)
+    opt_state = tx.init(params)
+    step_coarse = loop.make_online_train_step(star_cfg_coarse, loss_cfg, tx)
+    step_fine = loop.make_online_train_step(star_cfg, loss_cfg, tx)
+
+    sampler_rng = np.random.default_rng(cfg.seed + 99)
+    t0 = time.time()
+    trace = []
+    for phase, fn, its in (("coarse", step_coarse, args.pose_its // 3),
+                           ("fine", step_fine, args.pose_its - args.pose_its // 3)):
+        for i in range(its):
+            batch = train_data.sample_batch(
+                sampler_rng, cfg.N_rand, start_frame=0,
+                current_frame=cfg.num_frames, mixed_frames=cfg.mixed_frames,
+                car_sample_ratio=max(cfg.car_sample_ratio_pose,
+                                     cfg.car_sample_ratio))
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            key, sub = jax.random.split(key)
+            params, opt_state, lossv, _ = fn(
+                params, opt_state, batch, sub,
+                jnp.asarray(0 if phase == "coarse" else 10_000))
+            if (i + 1) % 200 == 0:
+                t, r = errs(params["poses"])
+                trace.append({"phase": phase, "it": i + 1,
+                              "trans": t, "rot": r})
+                print(f"{phase} {i + 1}/{its}: trans={t} rot={r} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+
+    final_trans, final_rot = errs(params["poses"])
+    result = {
+        "stage1_fields_ckpt": fields_ckpt,
+        "stage1_minutes": args.minutes,
+        "pose_its": args.pose_its,
+        "init_trans": init_trans, "init_rot": init_rot,
+        "final_trans": final_trans, "final_rot": final_rot,
+        "trace": trace,
+        "interpretation": (
+            "floor is field quality (alternation must contract it)"
+            if max(final_trans) < 0.01 else
+            "residual floor even with GT-trained fields"),
+    }
+    with open(os.path.join(args.out, "floor_diag.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print("RESULT " + json.dumps({k: v for k, v in result.items()
+                                  if k != "trace"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

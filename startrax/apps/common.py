@@ -57,8 +57,16 @@ def make_dataset(cfg: Config, split: str):
     if cfg.dataset_type == "synthetic":
         from ..data.synthetic import SyntheticAdapter, SyntheticScene
 
+        scene = SyntheticScene(
+            num_vehicles=cfg.num_vehicles, num_frames=cfg.num_frames,
+            H=cfg.synth_height, W=cfg.synth_height,
+            focal=float(cfg.synth_height),
+        )
         return SyntheticAdapter(
-            SyntheticScene(num_vehicles=cfg.num_vehicles, num_frames=cfg.num_frames)
+            scene, num_views=cfg.synth_views,
+            num_val_views=cfg.synth_val_views,
+            cache_dir=cfg.synth_cache_dir,
+            split="train" if split == "train" else "val",
         )
     raise ValueError(f"unknown dataset_type {cfg.dataset_type}")
 

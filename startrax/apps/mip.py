@@ -24,6 +24,7 @@ from ..train import checkpoint as ckpt
 from ..train import loop, optim
 from ..train.curriculum import CurriculumConfig, CurriculumState, advance
 from ..utils.config import Config, load_config, loss_config_from
+from ..data.prefetch import BatchPrefetcher
 from .common import Workspace, make_dataset, host_prng
 
 
@@ -79,7 +80,7 @@ def train_app_init(cfg: Config):
     loss_cfg = loss_config_from(cfg)
     train_data = make_dataset(cfg, "train")
 
-    rng, key = host_prng(42)
+    rng, key = host_prng(cfg.seed)
     params = mip.init_star_mip(key, mcfg)
     tx = optim.make_appinit_optimizer(
         cfg.lrate, steps_per_epoch=cfg.steps_per_epoch,
@@ -100,26 +101,33 @@ def train_app_init(cfg: Config):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, lossv, metrics
 
+    # host sampling off the critical path (same pattern as apps/online.py)
+    if cfg.dataset_type == "blender":
+        sample_fn = lambda r, st: train_data.sample_batch(r, cfg.N_rand)
+    else:
+        sample_fn = lambda r, st: train_data.sample_batch(r, cfg.N_rand, frame=0)
+    prefetcher = BatchPrefetcher(sample_fn, {}, seed=cfg.seed * 7919 + 3,
+                                 depth=6, workers=max(cfg.num_workers, 1))
+
     step = 0
-    for epoch in range(cfg.epochs_appearance):
-        fine_losses = []
-        for _ in range(cfg.steps_per_epoch):
-            if cfg.dataset_type == "blender":
-                batch = train_data.sample_batch(rng, cfg.N_rand)
-            else:
-                batch = train_data.sample_batch(rng, cfg.N_rand, frame=0)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            key, sub = jax.random.split(key)
-            params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
-            step += 1
-            fine_losses.append(metrics["fine_loss"])
-        avg = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
-        ws.metrics.log({"train/fine_loss": avg, "epoch": epoch}, step)
-        ws.log(f"epoch {epoch}: fine_loss={avg:.6f}")
-        if (epoch + 1) % cfg.epoch_ckpt == 0:
-            ckpt.save_checkpoint(ws.ckpt_dir, {"params": params}, step=epoch)
-        if avg <= cfg.appearance_init_thres:
-            break
+    try:
+        for epoch in range(cfg.epochs_appearance):
+            fine_losses = []
+            for _ in range(cfg.steps_per_epoch):
+                batch = {k: jnp.asarray(v) for k, v in next(prefetcher).items()}
+                key, sub = jax.random.split(key)
+                params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
+                step += 1
+                fine_losses.append(metrics["fine_loss"])
+            avg = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
+            ws.metrics.log({"train/fine_loss": avg, "epoch": epoch}, step)
+            ws.log(f"epoch {epoch}: fine_loss={avg:.6f}")
+            if (epoch + 1) % cfg.epoch_ckpt == 0:
+                ckpt.save_checkpoint(ws.ckpt_dir, {"params": params}, step=epoch)
+            if avg <= cfg.appearance_init_thres:
+                break
+    finally:
+        prefetcher.close()
     return params
 
 
@@ -130,7 +138,7 @@ def train_online(cfg: Config):
     train_data = make_dataset(cfg, "train")
     val_data = make_dataset(cfg, "val")
     gt_rel = np.swapaxes(train_data.gt_relative_poses(), 0, 1)  # [F, K, 7]
-    rng, key = host_prng(1453)
+    rng, key = host_prng(cfg.seed)
 
     from ..ops import lie
 
@@ -176,48 +184,61 @@ def train_online(cfg: Config):
     cur_cfg = CurriculumConfig(
         num_frames=cfg.num_frames, initial_num_frames=cfg.initial_num_frames,
         online_thres=cfg.online_thres,
+        min_epochs_between=cfg.epochs_between_frames,
+        tightened_thres=cfg.online_thres_tightened,
     )
     cur = CurriculumState.initial(cur_cfg)
 
+    # current_frame = num_frames + 1 once the curriculum is done
+    sample_state = {"start": cur.start_frame,
+                    "end": min(cur.current_frame, cfg.num_frames)}
+    prefetcher = BatchPrefetcher(
+        lambda r, st: train_data.sample_batch(
+            r, cfg.N_rand, start_frame=st["start"], current_frame=st["end"]),
+        sample_state, seed=cfg.seed * 7919 + 4, depth=6,
+        workers=max(cfg.num_workers, 1))
+
     step = 0
-    for epoch in range(cfg.epochs_online):
-        fine_losses = []
-        for _ in range(cfg.steps_per_epoch):
-            batch = train_data.sample_batch(
-                rng, cfg.N_rand, start_frame=cur.start_frame, current_frame=cur.current_frame
-            )
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            key, sub = jax.random.split(key)
-            params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
-            step += 1
-            fine_losses.append(metrics["fine_loss"])
-        avg = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
-        cur = advance(cur, cur_cfg, avg)
+    try:
+        for epoch in range(cfg.epochs_online):
+            sample_state.update(start=cur.start_frame,
+                                end=min(cur.current_frame, cfg.num_frames))
+            fine_losses = []
+            for _ in range(cfg.steps_per_epoch):
+                batch = {k: jnp.asarray(v) for k, v in next(prefetcher).items()}
+                key, sub = jax.random.split(key)
+                params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
+                step += 1
+                fine_losses.append(metrics["fine_loss"])
+            avg = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
+            cur = advance(cur, cur_cfg, avg)
 
-        # pose metrics every epoch (reference train_online_mip.py logs pose
-        # trans/rot errors at val; here they are cheap host math)
-        from ..eval.pose import get_pose_metrics_multi
+            # pose metrics every epoch (reference train_online_mip.py logs pose
+            # trans/rot errors at val; here they are cheap host math)
+            from ..eval.pose import get_pose_metrics_multi
 
-        trans_err, rot_err, *_ = get_pose_metrics_multi(
-            np.asarray(params["poses"]), gt_rel[1:]
-        )
-        ws.metrics.log(
-            {"train/fine_loss": avg, "train/current_frame_num": cur.current_frame,
-             "epoch": epoch,
-             **{f"train/trans_error_{k}": float(v) for k, v in enumerate(trans_err)},
-             **{f"train/rot_error_{k}": float(v) for k, v in enumerate(rot_err)}},
-            step,
-        )
-        if (epoch + 1) % cfg.epoch_val == 0:
-            _validate_mip(ws, cfg, mcfg, params, val_data, cur, step)
-        if (epoch + 1) % cfg.epoch_ckpt == 0:
-            ckpt.save_checkpoint(
-                ws.ckpt_dir,
-                {"params": params, "curriculum": ckpt.curriculum_to_dict(cur)},
-                step=epoch,
+            trans_err, rot_err, *_ = get_pose_metrics_multi(
+                np.asarray(params["poses"]), gt_rel[1:]
             )
-        if cur.done:
-            break
+            ws.metrics.log(
+                {"train/fine_loss": avg, "train/current_frame_num": cur.current_frame,
+                 "epoch": epoch,
+                 **{f"train/trans_error_{k}": float(v) for k, v in enumerate(trans_err)},
+                 **{f"train/rot_error_{k}": float(v) for k, v in enumerate(rot_err)}},
+                step,
+            )
+            if (epoch + 1) % cfg.epoch_val == 0:
+                _validate_mip(ws, cfg, mcfg, params, val_data, cur, step)
+            if (epoch + 1) % cfg.epoch_ckpt == 0:
+                ckpt.save_checkpoint(
+                    ws.ckpt_dir,
+                    {"params": params, "curriculum": ckpt.curriculum_to_dict(cur)},
+                    step=epoch,
+                )
+            if cur.done:
+                break
+    finally:
+        prefetcher.close()
     return params
 
 
@@ -226,7 +247,7 @@ def _validate_mip(ws, cfg, mcfg, params, val_data, cur, step):
     from ..eval.image import psnr as psnr_fn, ssim as ssim_fn
     from ..eval.render import render_image_mip
 
-    frame = cur.current_frame - 1
+    frame = min(cur.current_frame, cfg.num_frames) - 1
     rays_o, rays_d = val_data.view_rays(0)
     target = val_data.images[0, frame]
     pose = loop.gather_frame_pose(params["poses"], jnp.asarray(frame), mcfg.num_vehicles)
@@ -250,7 +271,7 @@ def test(cfg: Config):
 
     from ..ops import lie
 
-    rng, key = host_prng(1453)
+    rng, key = host_prng(cfg.seed)
     params = {
         "nerf": mip.init_star_mip(key, mcfg),
         "poses": lie.se3_identity(cfg.num_frames - 1, mcfg.num_vehicles),

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..data.prefetch import BatchPrefetcher
 from ..eval.image import psnr as psnr_fn
 from ..models import nerf_time as nt
 from ..train import checkpoint as ckpt
@@ -31,7 +32,7 @@ def train(cfg: Config):
     train_data = make_dataset(cfg, "train")
     val_data = make_dataset(cfg, "val")
 
-    rng, key = host_prng(42)
+    rng, key = host_prng(cfg.seed)
     params = nt.init_nerf_time(key, star_cfg)
 
     tx = optim.make_appinit_optimizer(
@@ -56,27 +57,34 @@ def train(cfg: Config):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, lossv, metrics
 
+    # host sampling off the critical path (same pattern as apps/online.py)
+    prefetcher = BatchPrefetcher(
+        lambda r, st: train_data.sample_batch(
+            r, cfg.N_rand, start_frame=0, current_frame=cfg.num_frames),
+        {}, seed=cfg.seed * 7919 + 5, depth=6,
+        workers=max(cfg.num_workers, 1))
+
     step = 0
-    for epoch in range(cfg.epochs_online):
-        fine_losses = []
-        for _ in range(cfg.steps_per_epoch):
-            batch = train_data.sample_batch(
-                rng, cfg.N_rand, start_frame=0, current_frame=cfg.num_frames
-            )
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            key, sub = jax.random.split(key)
-            params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
-            step += 1
-            fine_losses.append(metrics["fine_loss"])
-        avg = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
-        ws.metrics.log({"train/fine_loss": avg, "epoch": epoch}, step)
-        ws.log(f"epoch {epoch}: fine_loss={avg:.6f}")
-        if (epoch + 1) % cfg.epoch_val == 0:
-            _validate(ws, cfg, star_cfg, params, val_data, step)
-        if (epoch + 1) % cfg.epoch_ckpt == 0:
-            ckpt.save_checkpoint(ws.ckpt_dir, {"params": params}, step=epoch)
-        if avg <= cfg.online_thres:
-            break
+    try:
+        for epoch in range(cfg.epochs_online):
+            fine_losses = []
+            for _ in range(cfg.steps_per_epoch):
+                batch = {k: jnp.asarray(v) for k, v in next(prefetcher).items()}
+                key, sub = jax.random.split(key)
+                params, opt_state, lossv, metrics = step_fn(params, opt_state, batch, sub)
+                step += 1
+                fine_losses.append(metrics["fine_loss"])
+            avg = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
+            ws.metrics.log({"train/fine_loss": avg, "epoch": epoch}, step)
+            ws.log(f"epoch {epoch}: fine_loss={avg:.6f}")
+            if (epoch + 1) % cfg.epoch_val == 0:
+                _validate(ws, cfg, star_cfg, params, val_data, step)
+            if (epoch + 1) % cfg.epoch_ckpt == 0:
+                ckpt.save_checkpoint(ws.ckpt_dir, {"params": params}, step=epoch)
+            if avg <= cfg.online_thres:
+                break
+    finally:
+        prefetcher.close()
     return params
 
 

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..data.prefetch import BatchPrefetcher
 from ..kernels import occgrid
 from ..models.fields import FieldConfig, init_field, apply_field
 from ..ops.compositing import raw2outputs
@@ -52,7 +53,7 @@ def train(cfg: Config):
     )
 
     train_data = make_dataset(cfg, "train")
-    rng, key = host_prng(42)
+    rng, key = host_prng(cfg.seed)
     params = init_field(key, field_cfg)
     grid = occgrid.init_grid(occ_cfg)
 
@@ -111,47 +112,54 @@ def train(cfg: Config):
 
     train_step = make_train_step(occ_cfg)
 
+    # host sampling off the critical path (same pattern as apps/online.py)
+    if cfg.dataset_type == "blender":
+        sample_fn = lambda r, st: train_data.sample_batch(r, cfg.N_rand)
+    else:
+        sample_fn = lambda r, st: train_data.sample_batch(r, cfg.N_rand, frame=0)
+    prefetcher = BatchPrefetcher(sample_fn, {}, seed=cfg.seed * 7919 + 6,
+                                 depth=6, workers=max(cfg.num_workers, 1))
+
     step = 0
-    for epoch in range(cfg.epochs_appearance):
-        fine_losses, dropped = [], []
-        for _ in range(cfg.steps_per_epoch):
-            if step % GRID_UPDATE_EVERY == 0:
+    try:
+        for epoch in range(cfg.epochs_appearance):
+            fine_losses, dropped = [], []
+            for _ in range(cfg.steps_per_epoch):
+                if step % GRID_UPDATE_EVERY == 0:
+                    key, sub = jax.random.split(key)
+                    grid = update_grid_fn(grid, params, sub)
+                batch = {k: jnp.asarray(v) for k, v in next(prefetcher).items()}
                 key, sub = jax.random.split(key)
-                grid = update_grid_fn(grid, params, sub)
-            if cfg.dataset_type == "blender":
-                batch = train_data.sample_batch(rng, cfg.N_rand)
-            else:
-                batch = train_data.sample_batch(rng, cfg.N_rand, frame=0)
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            key, sub = jax.random.split(key)
-            params, opt_state, lossv, metrics = train_step(params, opt_state, grid, batch, sub)
-            step += 1
-            fine_losses.append(metrics["fine_loss"])
-            dropped.append(metrics["dropped_frac"])
-        avg = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
-        avg_dropped = float(np.mean(np.asarray(jnp.stack(dropped))))
-        ws.metrics.log(
-            {"train/fine_loss": avg, "train/mean_samples": float(metrics["mean_samples"]),
-             "train/dropped_frac": avg_dropped, "epoch": epoch},
-            step,
-        )
-        ws.log(f"epoch {epoch}: fine_loss={avg:.6f} "
-               f"mean_samples={float(metrics['mean_samples']):.1f} "
-               f"dropped_frac={avg_dropped:.4f}")
-        if avg_dropped > 0.01 and occ_cfg.n_selected < occ_cfg.n_march:
-            # >1% of occupied samples were silently truncated: double the
-            # per-ray budget at this jit boundary and rebuild the step
-            occ_cfg = dataclasses.replace(
-                occ_cfg, n_selected=min(occ_cfg.n_selected * 2, occ_cfg.n_march)
+                params, opt_state, lossv, metrics = train_step(params, opt_state, grid, batch, sub)
+                step += 1
+                fine_losses.append(metrics["fine_loss"])
+                dropped.append(metrics["dropped_frac"])
+            avg = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
+            avg_dropped = float(np.mean(np.asarray(jnp.stack(dropped))))
+            ws.metrics.log(
+                {"train/fine_loss": avg, "train/mean_samples": float(metrics["mean_samples"]),
+                 "train/dropped_frac": avg_dropped, "epoch": epoch},
+                step,
             )
-            train_step = make_train_step(occ_cfg)
-            ws.log(f"raised occgrid sample budget to {occ_cfg.n_selected} "
-                   f"(dropped_frac={avg_dropped:.4f})")
-        if (epoch + 1) % cfg.epoch_ckpt == 0:
-            ckpt.save_checkpoint(ws.ckpt_dir, {"params": params}, step=epoch)
-        if avg <= cfg.appearance_init_thres:
-            ws.log("appearance threshold reached; stopping")
-            break
+            ws.log(f"epoch {epoch}: fine_loss={avg:.6f} "
+                   f"mean_samples={float(metrics['mean_samples']):.1f} "
+                   f"dropped_frac={avg_dropped:.4f}")
+            if avg_dropped > 0.01 and occ_cfg.n_selected < occ_cfg.n_march:
+                # >1% of occupied samples were silently truncated: double the
+                # per-ray budget at this jit boundary and rebuild the step
+                occ_cfg = dataclasses.replace(
+                    occ_cfg, n_selected=min(occ_cfg.n_selected * 2, occ_cfg.n_march)
+                )
+                train_step = make_train_step(occ_cfg)
+                ws.log(f"raised occgrid sample budget to {occ_cfg.n_selected} "
+                       f"(dropped_frac={avg_dropped:.4f})")
+            if (epoch + 1) % cfg.epoch_ckpt == 0:
+                ckpt.save_checkpoint(ws.ckpt_dir, {"params": params}, step=epoch)
+            if avg <= cfg.appearance_init_thres:
+                ws.log("appearance threshold reached; stopping")
+                break
+    finally:
+        prefetcher.close()
     return params, grid
 
 

@@ -9,6 +9,24 @@ curriculum, val renders with pose metrics, and a test mode computing the
 full parity metric suite (masked PSNR/SSIM, pose errors, RPE/ATE, 2D/3D IoU)
 plus TUM-style pose export.
 
+Beyond the reference, the app carries the validated pose recipe as config
+flags (see STATUS.md "Pose convergence work" and utils/config.py):
+
+- warmup: a field-forming phase with poses frozen (pose_delay_epochs), then
+  BARF coarse-to-fine on the dynamic fields with rotations frozen (end_barf,
+  barf_freeze_rot) — escapes vehicle-texture local minima,
+- curriculum: the reference frame-admission loop, optionally interleaving
+  pose-only epochs (pose_only_every),
+- polish: after all frames are admitted, block-coordinate descent —
+  fields-only to a loss plateau, then poses-only to a plateau, repeated
+  (polish_mode = "alternate") — with ghost/frame-0 anchor sampling to pin
+  the dynamic fields' canonical frame, and GT-free best-epoch selection on
+  held-out-view photometric error (selection = "photometric").
+
+Ray-axis data parallelism (data_parallel flag) shards every train batch and
+eval tile over the device mesh — the reference is strictly single-GPU
+(train_online__.py:1165-1166).
+
 Usage:
   python -m startrax.apps.online --config startrax/configs/carla_star_online.txt
   python -m startrax.apps.online --config ... --test true
@@ -16,7 +34,9 @@ Usage:
 
 from __future__ import annotations
 
+import json
 import os
+import time
 from typing import Optional
 
 import jax
@@ -27,6 +47,7 @@ from ..data.prefetch import BatchPrefetcher
 from ..eval import pose as pose_mod
 from ..eval.image import psnr as psnr_fn, ssim as ssim_fn
 from ..eval.render import render_image
+from ..parallel import mesh as meshlib
 from ..train import checkpoint as ckpt
 from ..train import loop, optim
 from ..train.curriculum import CurriculumConfig, CurriculumState, advance
@@ -35,13 +56,10 @@ from .common import Workspace, make_dataset, host_prng
 from .test_protocol import frame_metrics, run_test_protocol
 
 
-
-
 def _init_params(cfg: Config, star_cfg, key, train_data, rng):
     params = loop.init_online_params(key, star_cfg, cfg.num_frames)
 
     if cfg.appearance_ckpt_path:
-        template = {"params": loop.init_online_params(key, star_cfg, cfg.num_frames)["nerf"]}
         app = ckpt.restore_checkpoint(cfg.appearance_ckpt_path, None)
         app_params = app["params"] if "params" in app else app
         params = ckpt.restore_static_only(app_params, params)
@@ -58,179 +76,476 @@ def _init_params(cfg: Config, star_cfg, key, train_data, rng):
     return params
 
 
+def make_run_mesh(cfg: Config, log=None):
+    """Build the 1-D ray mesh per the data_parallel flag: "auto" shards over
+    all visible devices when there is more than one, "on" requires it, "off"
+    stays single-device (parallel/mesh.py)."""
+    n = jax.device_count()
+    if cfg.data_parallel == "off" or (cfg.data_parallel == "auto" and n <= 1):
+        return None
+    if cfg.data_parallel not in ("auto", "on"):
+        raise ValueError(f"data_parallel must be auto/on/off, got {cfg.data_parallel}")
+    if cfg.data_parallel == "on" and n <= 1:
+        raise RuntimeError("data_parallel=on but only one device is visible")
+    mesh = meshlib.make_mesh()
+    if log:
+        log(f"ray-axis data parallelism over {mesh.size} devices")
+    return mesh
+
+
+def _place_batch(batch, mesh):
+    if mesh is None:
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+    return meshlib.shard_batch(batch, mesh)
+
+
+def _loss_plateau(losses, window: int, tol: float) -> bool:
+    """True when the mean loss of the last `window` epochs improved less than
+    tol (relative) over the window before it."""
+    if len(losses) < 2 * window:
+        return False
+    prev = float(np.mean(losses[-2 * window : -window]))
+    last = float(np.mean(losses[-window:]))
+    return last > (1.0 - tol) * prev
+
+
+def selection_score(cfg: Config, star_cfg, params, val_data, num_frames: int,
+                    mesh=None, view: int = 0, keys_stride: int = 1) -> float:
+    """GT-free best-epoch criterion: mean MSE of a held-out val view rendered
+    at every frame with the learned poses (frame 0 = identity). Lower is
+    better. Replaces the GT-pose oracle that only the synthetic benchmark
+    has; validated against it in scripts/synthetic_e2e.py."""
+    rays_o, rays_d = val_data.view_rays(view)
+    total, count = 0.0, 0
+    for f in range(num_frames):
+        pose = loop.gather_frame_pose(
+            jnp.asarray(params["poses"]), jnp.asarray(f), star_cfg.num_vehicles)
+        out = render_image(params["nerf"], star_cfg, rays_o, rays_d, pose=pose,
+                           mesh=mesh, keys=("rgb",))
+        target = np.asarray(val_data.images[view, f], np.float32)
+        total += float(np.mean((out["rgb"] - target) ** 2))
+        count += 1
+    return total / max(count, 1)
+
+
 def train(cfg: Config):
     ws = Workspace(cfg, "online")
     star_cfg = star_config_from(cfg)
+    # the main (post-warmup) steps always run full-frequency so the fused
+    # in-kernel-PE path stays on; a separate BARF-masked variant covers the
+    # warmup epochs only
+    import dataclasses as _dc
+
+    star_cfg = _dc.replace(star_cfg, end_barf=-1)
+    star_cfg_barf = (_dc.replace(star_cfg, end_barf=cfg.end_barf)
+                     if cfg.end_barf > 0 else star_cfg)
     loss_cfg = loss_config_from(cfg)
 
     train_data = make_dataset(cfg, "train")
     val_data = make_dataset(cfg, "val")
-    gt_rel = np.swapaxes(train_data.gt_relative_poses(), 0, 1)  # [F, K, 7]
+    has_gt = hasattr(train_data, "gt_relative_poses")
+    gt_rel = (np.swapaxes(train_data.gt_relative_poses(), 0, 1)
+              if has_gt else None)  # [F, K, 7]
 
-    rng, key = host_prng(1453)
+    rng, key = host_prng(cfg.seed)
     params = _init_params(cfg, star_cfg, key, train_data, rng)
 
-    tx = optim.make_fused_star_optimizer(
-        params,
-        lrate_static=cfg.lrate_static,
-        lrate_dynamic=cfg.lrate_dynamic,
-        lrate_pose=0.0 if cfg.load_gt_poses else cfg.lrate_pose,
+    mesh = make_run_mesh(cfg, ws.log)
+    n_rand = cfg.N_rand
+    if mesh is not None:
+        n_rand = meshlib.pad_rays_to_multiple(cfg.N_rand, mesh.size)
+        if n_rand != cfg.N_rand:
+            ws.log(f"N_rand {cfg.N_rand} -> {n_rand} (divisible by mesh size)")
+        params = meshlib.replicate_params(params, mesh)
+
+    pose_lr = 0.0 if cfg.load_gt_poses else cfg.lrate_pose
+    opt_kw = dict(
         steps_per_epoch=cfg.steps_per_epoch,
-        decay_rate=cfg.lrate_decay_rate,
-        decay_epochs=cfg.lrate_decay,
-        decay_milestones=cfg.lrate_decay_steps,
-        pose_decay_rate=cfg.pose_lrate_decay_rate,
-        pose_decay_epochs=cfg.pose_lrate_decay,
-        pose_decay_milestones=cfg.pose_lrate_decay_steps,
-        grad_clip=1.0,
-        accumulate_steps=cfg.accumulate_grad_batches,
+        grad_clip=1.0, accumulate_steps=cfg.accumulate_grad_batches,
     )
+    nerf_decay = dict(decay_rate=cfg.lrate_decay_rate,
+                      decay_epochs=cfg.lrate_decay,
+                      decay_milestones=cfg.lrate_decay_steps)
+    pose_decay = dict(pose_decay_rate=cfg.pose_lrate_decay_rate,
+                      pose_decay_epochs=cfg.pose_lrate_decay,
+                      pose_decay_milestones=cfg.pose_lrate_decay_steps)
+
+    tx = optim.make_fused_star_optimizer(
+        params, lrate_static=cfg.lrate_static, lrate_dynamic=cfg.lrate_dynamic,
+        lrate_pose=pose_lr, **nerf_decay, **pose_decay, **opt_kw)
     opt_state = tx.init(params)
     step_fn = loop.make_online_train_step(
-        star_cfg, loss_cfg, tx, trans_only=cfg.pose_trans_only
-    )
+        star_cfg, loss_cfg, tx, trans_only=cfg.pose_trans_only)
 
+    # BARF warmup: same optimizer state as the joint step, coarse-to-fine
+    # masked dynamic fields, rotations optionally frozen (a blurred field is
+    # nearly rotation-symmetric — rotation gradients are noise)
+    step_fn_barf = None
+    if cfg.end_barf > 0:
+        step_fn_barf = loop.make_online_train_step(
+            star_cfg_barf, loss_cfg, tx,
+            trans_only=cfg.pose_trans_only,
+            freeze_rot=cfg.barf_freeze_rot and not cfg.pose_trans_only)
+
+    # fields-only steps (pose LR 0): the field-forming warmup phase and the
+    # alternation field phases share one optimizer
+    need_field_tx = (cfg.pose_delay_epochs > 0
+                     or (cfg.polish_epochs > 0 and cfg.polish_mode == "alternate"))
+    opt_state_field = None
+    if need_field_tx:
+        tx_field = optim.make_fused_star_optimizer(
+            params, lrate_static=cfg.lrate_static,
+            lrate_dynamic=cfg.lrate_dynamic, lrate_pose=0.0,
+            **nerf_decay, **opt_kw)
+        opt_state_field = tx_field.init(params)
+        step_fn_field = loop.make_online_train_step(star_cfg, loss_cfg, tx_field)
+        step_fn_fieldform = (
+            loop.make_online_train_step(star_cfg_barf, loss_cfg, tx_field)
+            if cfg.end_barf > 0 else step_fn_field)
+
+    # pose-only step (field LRs 0) for pose_only_every epochs
     opt_state_pose = None
-    if cfg.pose_only_every > 0:
+    if cfg.pose_only_every > 0 and not cfg.load_gt_poses:
         tx_pose = optim.make_fused_star_optimizer(
-            params, lrate_static=0.0, lrate_dynamic=0.0,
-            lrate_pose=0.0 if cfg.load_gt_poses else cfg.lrate_pose,
-            steps_per_epoch=cfg.steps_per_epoch,
-            pose_decay_rate=cfg.pose_lrate_decay_rate,
-            pose_decay_epochs=cfg.pose_lrate_decay,
-            pose_decay_milestones=cfg.pose_lrate_decay_steps,
-            grad_clip=1.0, accumulate_steps=cfg.accumulate_grad_batches,
-        )
+            params, lrate_static=0.0, lrate_dynamic=0.0, lrate_pose=pose_lr,
+            **pose_decay, **opt_kw)
         opt_state_pose = tx_pose.init(params)
         step_fn_pose = loop.make_online_train_step(
-            star_cfg, loss_cfg, tx_pose, trans_only=cfg.pose_trans_only
-        )
+            star_cfg, loss_cfg, tx_pose, trans_only=cfg.pose_trans_only)
+
+    # polish pose refinement: pose-only with its own (decaying) LR schedule
+    # and fresh moments
+    opt_state_polish = None
+    if cfg.polish_epochs > 0 and not cfg.load_gt_poses:
+        tx_polish = optim.make_fused_star_optimizer(
+            params, lrate_static=0.0, lrate_dynamic=0.0, lrate_pose=pose_lr,
+            pose_decay_rate=cfg.polish_pose_lrate_decay_rate,
+            pose_decay_epochs=cfg.polish_pose_lrate_decay, **opt_kw)
+        opt_state_polish = tx_polish.init(params)
+        step_fn_polish = loop.make_online_train_step(
+            star_cfg, loss_cfg, tx_polish, trans_only=cfg.pose_trans_only)
 
     cur_cfg = CurriculumConfig(
         num_frames=cfg.num_frames,
         initial_num_frames=cfg.initial_num_frames,
         online_thres=cfg.online_thres,
+        min_epochs_between=cfg.epochs_between_frames,
+        tightened_thres=cfg.online_thres_tightened,
     )
     cur = CurriculumState.initial(cur_cfg)
 
+    start_epoch = 0
     if cfg.online_ckpt_path:
         template = {
             "params": params, "opt_state": opt_state,
             "curriculum": ckpt.curriculum_to_dict(cur), "epoch": 0,
         }
         saved_keys = ckpt.checkpoint_keys(cfg.online_ckpt_path)
-        if opt_state_pose is not None and "opt_state_pose" in saved_keys:
-            template["opt_state_pose"] = opt_state_pose
+        for name, state in (("opt_state_pose", opt_state_pose),
+                            ("opt_state_polish", opt_state_polish),
+                            ("opt_state_field", opt_state_field)):
+            if state is not None and name in saved_keys:
+                template[name] = state
         restored = ckpt.restore_checkpoint(cfg.online_ckpt_path, template)
         params, opt_state = restored["params"], restored["opt_state"]
-        if "opt_state_pose" in restored and opt_state_pose is not None:
-            opt_state_pose = restored["opt_state_pose"]
+        opt_state_pose = restored.get("opt_state_pose", opt_state_pose)
+        opt_state_polish = restored.get("opt_state_polish", opt_state_polish)
+        opt_state_field = restored.get("opt_state_field", opt_state_field)
         cur = ckpt.curriculum_from_dict(restored["curriculum"])
-        ws.log(f"resumed online training at frame window {cur.current_frame}")
+        if mesh is not None:
+            # restored leaves may land on one device; train batches are
+            # mesh-sharded
+            params = meshlib.replicate_params(params, mesh)
+        start_epoch = int(restored.get("epoch", -1)) + 1
+        ws.log(f"resumed online training at epoch {start_epoch}, "
+               f"frame window {cur.current_frame}")
+
+    def pose_errors(poses):
+        trans, rot, *_ = pose_mod.get_pose_metrics_multi(
+            np.asarray(poses), gt_rel[1:])
+        return [float(t) for t in trans], [float(r) for r in rot]
+
+    if has_gt and cfg.noisy_pose_init and not cfg.load_gt_poses:
+        t0, r0 = pose_errors(params["poses"])
+        ws.log(f"initial pose error: trans={t0} rot={r0}")
 
     # Host-side sampling overlaps device execution (the reference's
-    # DataLoader(num_workers=4) role, train_online__.py:1064).
-    sample_state = {"start": cur.start_frame, "end": cur.current_frame,
-                    "car": cfg.car_sample_ratio, "crop": False}
+    # DataLoader(num_workers=4) role, train_online__.py:1064). The workers
+    # read `sample_state` without locking: up to depth+workers queued batches
+    # were sampled under the previous phase's state — steps_per_epoch is far
+    # larger than the queue, so a handful of stale-window batches at each
+    # transition is accepted by design.
+    sample_state = {"start": cur.start_frame,
+                    "end": min(cur.current_frame, cfg.num_frames),
+                    "car": cfg.car_sample_ratio, "crop": False,
+                    "ghost": cfg.ghost_sample_ratio,
+                    "f0": cfg.frame0_sample_ratio}
     prefetcher = BatchPrefetcher(
         lambda r, st: train_data.sample_batch(
-            r, cfg.N_rand, start_frame=st["start"], current_frame=st["end"],
+            r, n_rand, start_frame=st["start"], current_frame=st["end"],
             car_sample_ratio=st["car"], crop=st["crop"],
-            mixed_frames=cfg.mixed_frames),
-        sample_state, seed=1453, depth=6, workers=2)
+            mixed_frames=cfg.mixed_frames,
+            ghost_sample_ratio=st["ghost"], frame0_sample_ratio=st["f0"]),
+        sample_state, seed=cfg.seed * 7919 + 1, depth=6,
+        workers=max(cfg.num_workers, 1))
 
+    car_pose = (cfg.car_sample_ratio_pose if cfg.car_sample_ratio_pose >= 0
+                else cfg.car_sample_ratio)
+    deadline = (time.time() + cfg.train_minutes * 60
+                if cfg.train_minutes > 0 else None)
+    sel_enabled = cfg.selection != "none" and (cfg.selection != "gt_pose" or has_gt)
+    best = {"score": float("inf"), "epoch": -1, "params": None,
+            "trans": None, "rot": None}
+    history = []
+    # alternation sub-state (polish_mode = "alternate")
+    alt_phase, alt_losses, alt_rounds = "field", [], 0
+    polish_used = 0
     step = 0
+    stop_reason = ""
+
+    def run_phase_epoch(fn, opt_st, epoch, car, ghost, f0):
+        nonlocal key, step
+        sample_state.update(
+            start=cur.start_frame, end=min(cur.current_frame, cfg.num_frames),
+            crop=epoch < cfg.precrop_iters, car=car, ghost=ghost, f0=f0)
+        fines = []
+        p = params
+        for _ in range(cfg.steps_per_epoch):
+            batch = _place_batch(next(prefetcher), mesh)
+            key, sub = jax.random.split(key)
+            p, opt_st, lossv, metrics = fn(p, opt_st, batch, sub,
+                                           jnp.asarray(epoch))
+            step += 1
+            fines.append(metrics["fine_loss"])  # device scalar, no sync
+        return p, opt_st, float(np.mean(np.asarray(jnp.stack(fines))))
+
     try:
-        for epoch in range(cfg.epochs_online):
-            fine_losses = []
-            crop = epoch < cfg.precrop_iters
-            pose_only = (
-                cfg.pose_only_every > 0 and epoch > 0
-                and epoch % cfg.pose_only_every == 0
-            )
-            # current_frame = num_frames + 1 once the curriculum is done
-            sample_state.update(start=cur.start_frame,
-                                end=min(cur.current_frame, cfg.num_frames),
-                                crop=crop)
-            for _ in range(cfg.steps_per_epoch):
-                batch = {k: jnp.asarray(v) for k, v in next(prefetcher).items()}
-                key, sub = jax.random.split(key)
+        for epoch in range(start_epoch, cfg.epochs_online):
+            if deadline is not None and time.time() > deadline:
+                stop_reason = "train_minutes budget"
+                break
+
+            in_fieldform = epoch < cfg.pose_delay_epochs and opt_state_field is not None
+            in_barf = (not in_fieldform and cfg.end_barf > 0
+                       and epoch < cfg.end_barf)
+            in_polish = cur.done and cfg.polish_epochs > 0 and not cfg.load_gt_poses
+            if cur.done and not in_polish:
+                break
+
+            phase = "joint"
+            if in_fieldform:
+                phase = "fieldform"
+                params, opt_state_field, avg = run_phase_epoch(
+                    step_fn_fieldform, opt_state_field, epoch,
+                    cfg.car_sample_ratio, cfg.ghost_sample_ratio,
+                    cfg.frame0_sample_ratio)
+            elif in_barf:
+                phase = "barf"
+                params, opt_state, avg = run_phase_epoch(
+                    step_fn_barf, opt_state, epoch,
+                    cfg.car_sample_ratio, cfg.ghost_sample_ratio,
+                    cfg.frame0_sample_ratio)
+            elif in_polish:
+                if polish_used >= cfg.polish_epochs:
+                    stop_reason = "polish budget"
+                    break
+                polish_used += 1
+                if cfg.polish_mode == "alternate":
+                    if alt_phase == "field":
+                        phase = "polish_field"
+                        params, opt_state_field, avg = run_phase_epoch(
+                            step_fn_field, opt_state_field, epoch,
+                            cfg.car_sample_ratio, cfg.ghost_sample_ratio,
+                            cfg.frame0_sample_ratio)
+                        alt_losses.append(avg)
+                        if (len(alt_losses) >= cfg.alt_field_epochs
+                                or _loss_plateau(alt_losses,
+                                                 cfg.alt_plateau_window,
+                                                 cfg.alt_plateau_tol)):
+                            alt_phase, alt_losses = "pose", []
+                    else:
+                        phase = "polish_pose"
+                        params, opt_state_polish, avg = run_phase_epoch(
+                            step_fn_polish, opt_state_polish, epoch,
+                            car_pose, 0.0, 0.0)
+                        alt_losses.append(avg)
+                        if (len(alt_losses) >= cfg.alt_pose_epochs
+                                or _loss_plateau(alt_losses,
+                                                 cfg.alt_plateau_window,
+                                                 cfg.alt_plateau_tol)):
+                            alt_phase, alt_losses = "field", []
+                            alt_rounds += 1
+                else:  # interleave (round-2 recipe)
+                    joint = (polish_used % max(cfg.polish_joint_every, 1)) == 0
+                    if joint:
+                        phase = "polish_joint"
+                        params, opt_state, avg = run_phase_epoch(
+                            step_fn, opt_state, epoch,
+                            cfg.car_sample_ratio, cfg.ghost_sample_ratio,
+                            cfg.frame0_sample_ratio)
+                    else:
+                        phase = "polish_pose"
+                        params, opt_state_polish, avg = run_phase_epoch(
+                            step_fn_polish, opt_state_polish, epoch,
+                            car_pose, 0.0, 0.0)
+            else:
+                pose_only = (opt_state_pose is not None and epoch > 0
+                             and epoch % cfg.pose_only_every == 0)
                 if pose_only:
-                    params, opt_state_pose, lossv, metrics = step_fn_pose(
-                        params, opt_state_pose, batch, sub, jnp.asarray(epoch)
-                    )
+                    phase = "pose"
+                    params, opt_state_pose, avg = run_phase_epoch(
+                        step_fn_pose, opt_state_pose, epoch, car_pose, 0.0, 0.0)
                 else:
-                    params, opt_state, lossv, metrics = step_fn(
-                        params, opt_state, batch, sub, jnp.asarray(epoch)
-                    )
-                step += 1
-                fine_losses.append(metrics["fine_loss"])  # device scalar, no sync
-            avg_fine = float(np.mean(np.asarray(jnp.stack(fine_losses))))  # one device fetch
+                    params, opt_state, avg = run_phase_epoch(
+                        step_fn, opt_state, epoch,
+                        cfg.car_sample_ratio, cfg.ghost_sample_ratio,
+                        cfg.frame0_sample_ratio)
 
             prev_frame = cur.current_frame
-            if epoch >= cfg.precrop_iters:
-                cur = advance(cur, cur_cfg, avg_fine)
+            if not cur.done and not in_fieldform and not in_barf \
+                    and epoch >= cfg.precrop_iters:
+                cur = advance(cur, cur_cfg, avg)
             if cur.current_frame != prev_frame:
                 ws.log(f"curriculum: admitted frame {cur.current_frame - 1}")
-            ws.metrics.log(
-                {"train/fine_loss": avg_fine, "train/current_frame_num": cur.current_frame,
-                 "epoch": epoch},
-                step,
-            )
+            if cur.done and prev_frame != cur.current_frame and in_polish is False \
+                    and cfg.polish_epochs > 0:
+                ws.log("curriculum complete -> polish stage "
+                       f"({cfg.polish_mode})")
+
+            row = {"epoch": epoch, "phase": phase, "fine": round(avg, 6),
+                   "window": cur.current_frame}
+            logs = {"train/fine_loss": avg,
+                    "train/current_frame_num": cur.current_frame,
+                    "epoch": epoch}
+
+            trans_err = rot_err = None
+            if has_gt and not cfg.load_gt_poses:
+                trans_err, rot_err = pose_errors(params["poses"])
+                row["trans"] = [round(t, 5) for t in trans_err]
+                row["rot"] = [round(r, 5) for r in rot_err]
+                logs.update({f"train/trans_error_{k}": v
+                             for k, v in enumerate(trans_err)})
+                logs.update({f"train/rot_error_{k}": v
+                             for k, v in enumerate(rot_err)})
+
+            # best-epoch selection once all frames are admitted (scores are
+            # only comparable at a fixed window)
+            if cur.done and sel_enabled:
+                if cfg.selection == "gt_pose" and trans_err is not None:
+                    score = sum(trans_err) + sum(rot_err)
+                else:
+                    score = selection_score(cfg, star_cfg, params, val_data,
+                                            cfg.num_frames, mesh=mesh)
+                row["score"] = round(score, 8)
+                logs["train/selection_score"] = score
+                if score < best["score"]:
+                    best.update(score=score, epoch=epoch,
+                                trans=trans_err, rot=rot_err,
+                                params=jax.tree.map(np.asarray, params))
+
+            history.append(row)
+            ws.metrics.log(logs, step)
+            ws.log(f"epoch {epoch} [{phase}]: fine={avg:.6f} "
+                   f"window={cur.current_frame}"
+                   + (f" trans={['%.4f' % t for t in trans_err]}"
+                      f" rot={['%.4f' % r for r in rot_err]}"
+                      if trans_err is not None else "")
+                   + (f" score={row['score']:.3e}" if "score" in row else ""))
 
             if (epoch + 1) % cfg.epoch_val == 0:
-                _validate(ws, cfg, params, star_cfg, val_data, gt_rel, rng, cur, step)
+                _validate(ws, cfg, params, star_cfg, val_data, gt_rel, rng,
+                          cur, step, mesh=mesh)
                 state = {"params": params, "opt_state": opt_state,
-                         "curriculum": ckpt.curriculum_to_dict(cur), "epoch": epoch}
-                if opt_state_pose is not None:
-                    state["opt_state_pose"] = opt_state_pose
+                         "curriculum": ckpt.curriculum_to_dict(cur),
+                         "epoch": epoch}
+                for name, st in (("opt_state_pose", opt_state_pose),
+                                 ("opt_state_polish", opt_state_polish),
+                                 ("opt_state_field", opt_state_field)):
+                    if st is not None:
+                        state[name] = st
                 ckpt.save_checkpoint(ws.ckpt_dir, state, step=epoch)
+                with open(os.path.join(ws.run_dir, "history.json"), "w") as f:
+                    json.dump(history, f)
 
-            if cur.done:
-                ws.log("all frames admitted; training complete")
+            if (cfg.target_pose_err > 0 and cur.done and trans_err is not None
+                    and max(trans_err) < cfg.target_pose_err
+                    and max(rot_err) < cfg.target_pose_err):
+                stop_reason = f"pose target {cfg.target_pose_err} reached"
+                break
+            if (cfg.selection_patience > 0 and cur.done and in_polish
+                    and sel_enabled and best["epoch"] >= 0
+                    and epoch - best["epoch"] >= cfg.selection_patience):
+                stop_reason = (f"selection patience (best epoch "
+                               f"{best['epoch']}, score {best['score']:.3e})")
+                break
+            if cur.done and cfg.polish_epochs <= 0:
+                stop_reason = "all frames admitted"
                 break
     finally:
         prefetcher.close()
 
+    if stop_reason:
+        ws.log(f"training stopped: {stop_reason}")
+
+    if best["params"] is not None and best["epoch"] >= 0:
+        # keep the best-selected epoch if the final one is not it
+        final_score = best["score"] + 1.0
+        if history and "score" in history[-1]:
+            final_score = history[-1]["score"]
+        if best["score"] < final_score:
+            ws.log(f"restoring best-epoch {best['epoch']} snapshot "
+                   f"(score {best['score']:.3e}, {cfg.selection})")
+            params = jax.tree.map(jnp.asarray, best["params"])
+        ckpt.save_checkpoint(ws.ckpt_dir + "_best", {"params": best["params"]},
+                             step=best["epoch"])
+
     state = {"params": params, "opt_state": opt_state,
-             "curriculum": ckpt.curriculum_to_dict(cur), "epoch": cfg.epochs_online}
-    if opt_state_pose is not None:
-        state["opt_state_pose"] = opt_state_pose
+             "curriculum": ckpt.curriculum_to_dict(cur),
+             "epoch": cfg.epochs_online}
+    for name, st in (("opt_state_pose", opt_state_pose),
+                     ("opt_state_polish", opt_state_polish),
+                     ("opt_state_field", opt_state_field)):
+        if st is not None:
+            state[name] = st
     ckpt.save_checkpoint(ws.ckpt_dir, state, step=cfg.epochs_online)
+    with open(os.path.join(ws.run_dir, "history.json"), "w") as f:
+        json.dump(history, f)
     return params
 
 
-def _validate(ws, cfg, params, star_cfg, val_data, gt_rel, rng, cur, step):
+def _validate(ws, cfg, params, star_cfg, val_data, gt_rel, rng, cur, step,
+              mesh=None):
     """Full val-view render + pose metrics (train_online__.py:488-652).
 
     Fixed protocol: always the first val view at the newest admitted frame —
     a deterministic gate (a random view/frame makes val PSNR too noisy to
     compare across epochs)."""
-    frame = cur.current_frame - 1
+    frame = min(cur.current_frame, cfg.num_frames) - 1
     view = 0
     rays_o, rays_d = val_data.view_rays(view)
     target = val_data.images[view, frame]
 
     pose = loop.gather_frame_pose(params["poses"], jnp.asarray(frame), star_cfg.num_vehicles)
-    out = render_image(params["nerf"], star_cfg, rays_o, rays_d, pose=pose)
+    out = render_image(params["nerf"], star_cfg, rays_o, rays_d, pose=pose,
+                       mesh=mesh)
     p = float(psnr_fn(jnp.asarray(out["rgb"]), jnp.asarray(target)))
     s = float(ssim_fn(jnp.asarray(out["rgb"]), jnp.asarray(target)))
 
-    est = np.asarray(params["poses"])  # [F-1, K, 7]
-    trans_err, rot_err, *_ = pose_mod.get_pose_metrics_multi(est, gt_rel[1:])
-    ws.metrics.log(
-        {
-            "val/psnr": p, "val/ssim": s,
-            **{f"val/trans_error_{k}": float(v) for k, v in enumerate(trans_err)},
-            **{f"val/rot_error_{k}": float(v) for k, v in enumerate(rot_err)},
-        },
-        step,
-    )
+    logs = {"val/psnr": p, "val/ssim": s}
+    if gt_rel is not None:
+        est = np.asarray(params["poses"])  # [F-1, K, 7]
+        trans_err, rot_err, *_ = pose_mod.get_pose_metrics_multi(est, gt_rel[1:])
+        logs.update({f"val/trans_error_{k}": float(v) for k, v in enumerate(trans_err)})
+        logs.update({f"val/rot_error_{k}": float(v) for k, v in enumerate(rot_err)})
+        ws.log(f"val: psnr={p:.2f} ssim={s:.4f} "
+               f"trans_err={[f'{t:.4f}' for t in trans_err]}")
+    else:
+        ws.log(f"val: psnr={p:.2f} ssim={s:.4f}")
+    ws.metrics.log(logs, step)
     ws.metrics.log_image("val/rgb", out["rgb"], step)
     ws.metrics.log_image("val/rgb_static", out["rgb_static"], step)
     for k in range(star_cfg.num_vehicles):
         ws.metrics.log_image(f"val/rgb_dynamic_{k}", out["rgb_dynamic"][:, :, k], step)
-    ws.log(f"val: psnr={p:.2f} ssim={s:.4f} trans_err={[f'{t:.4f}' for t in trans_err]}")
 
 
 # re-exported for backwards compatibility (shared protocol lives in
@@ -245,23 +560,26 @@ def test(cfg: Config):
     ws = Workspace(cfg, "online_test")
     star_cfg = star_config_from(cfg)
     test_data = make_dataset(cfg, "test")
+    mesh = make_run_mesh(cfg, ws.log)
 
-    rng, key = host_prng(1453)
+    rng, key = host_prng(cfg.seed)
     params = loop.init_online_params(key, star_cfg, cfg.num_frames)
     restored = ckpt.restore_checkpoint(cfg.online_ckpt_path, None)
     params = restored["params"] if "params" in restored else restored
+    if mesh is not None:
+        # restored leaves live on one device; eval rays are mesh-sharded
+        params = meshlib.replicate_params(params, mesh)
 
     def render_frame(pose, rays_o, rays_d):
         return render_image(
             params["nerf"], star_cfg, rays_o, rays_d, pose=pose,
-            with_test_outputs=True,
+            with_test_outputs=True, mesh=mesh,
         )
 
     run_test_protocol(
         ws, cfg, star_cfg.num_vehicles, np.asarray(params["poses"]),
         test_data, render_frame,
     )
-
 
 
 def main(argv=None):

@@ -255,6 +255,8 @@ class CarlaScene:
         crop: bool = False,
         frame: Optional[int] = None,
         mixed_frames: bool = False,
+        ghost_sample_ratio: float = 0.0,
+        frame0_sample_ratio: float = 0.0,
     ) -> Dict[str, np.ndarray]:
         """Random ray minibatch from a random in-window frame
         (reference __getitem__, carla_star_online__.py:287-350).
@@ -262,8 +264,16 @@ class CarlaScene:
         mixed_frames=True samples each ray's frame independently from the
         window (batch["frame"] becomes an [N] int array) so every frame's
         pose gets gradient every step — a capability the reference's
-        one-frame-per-batch sampling doesn't have."""
+        one-frame-per-batch sampling doesn't have.
+
+        ghost_sample_ratio / frame0_sample_ratio (mixed layout, needs
+        semantics): see data/synthetic.SyntheticAdapter.sample_batch — ghost
+        rays carve appearance-init vehicle ghosts out of the static field;
+        frame-0 car rays anchor the dynamic fields' canonical frame (frame-0
+        pose is identity by construction)."""
         V, F = self.images.shape[:2]
+        if ghost_sample_ratio > 0 or frame0_sample_ratio > 0:
+            mixed_frames = True
         if mixed_frames and frame is None:
             f = rng.integers(start_frame, current_frame, size=n_rand)
             v = rng.integers(0, V, n_rand)
@@ -274,12 +284,36 @@ class CarlaScene:
             else:
                 y = rng.integers(0, self.H, n_rand)
                 x = rng.integers(0, self.W, n_rand)
+            lo = 0
             n_car = int(n_rand * car_sample_ratio)
             if n_car > 0 and not crop and self.semantic is not None:
                 pool = self._car_pool(start_frame, current_frame)
                 if len(pool):
                     picks = pool[rng.integers(0, len(pool), size=n_car)]
                     v[:n_car], f[:n_car], y[:n_car], x[:n_car] = picks.T
+                    lo = n_car
+            if self.semantic is not None and not crop:
+                n_ghost = int(n_rand * ghost_sample_ratio)
+                if n_ghost > 0 and current_frame - start_frame > 1:
+                    pool = self._car_pool(start_frame, current_frame)
+                    if len(pool):
+                        hi = min(lo + n_ghost, n_rand)
+                        picks = pool[rng.integers(0, len(pool), size=hi - lo)]
+                        pv, pf, py, px = picks.T
+                        shift = rng.integers(
+                            1, current_frame - start_frame, size=hi - lo)
+                        other = start_frame + (pf - start_frame + shift) % (
+                            current_frame - start_frame)
+                        v[lo:hi], f[lo:hi], y[lo:hi], x[lo:hi] = pv, other, py, px
+                        lo = hi
+                n_f0 = int(n_rand * frame0_sample_ratio)
+                if n_f0 > 0 and start_frame == 0:
+                    pool0 = self._car_pool(0, 1)
+                    if len(pool0):
+                        hi = min(lo + n_f0, n_rand)
+                        picks = pool0[rng.integers(0, len(pool0), size=hi - lo)]
+                        v[lo:hi], f[lo:hi], y[lo:hi], x[lo:hi] = picks.T
+                        lo = hi
             batch = {
                 "rays_o": self.rays_o[v, y, x],
                 "rays_d": self.rays_d[v, y, x],

@@ -15,9 +15,13 @@ pixel-perfect self-consistent supervision:
 from __future__ import annotations
 
 import dataclasses
+import json
 from typing import Dict, Tuple
 
 import numpy as np
+
+# bump when scene-generation code changes (invalidates on-disk caches)
+_CACHE_VERSION = 3
 
 from ..ops import rays as ray_ops
 
@@ -231,30 +235,63 @@ class SyntheticScene:
         }
 
 
+# in-process memo so the train and val splits of the same scene share one
+# generated dataset (generation is minutes of host work at H>=128)
+_GEN_MEMO: Dict[str, Dict[str, np.ndarray]] = {}
+
+
 class SyntheticAdapter:
     """Dataset-style facade over SyntheticScene matching CarlaScene's
-    sampling API (used by the apps and tests)."""
+    sampling API (used by the apps and tests).
+
+    num_val_views > 0 generates that many EXTRA views held out from training:
+    split="train" exposes the first `num_views`, split="val"/"test" exposes
+    the held-out tail — the held-out views feed the GT-free photometric
+    best-epoch selection (reference splits views 51-55/>55 the same way,
+    carla_star_online__.py:206-218)."""
 
     def __init__(self, scene: SyntheticScene, num_views: int = 6,
-                 cache_dir: str = ""):
+                 cache_dir: str = "", split: str = "train",
+                 num_val_views: int = 0):
         self.scene = scene
-        if cache_dir:
+        total_views = num_views + num_val_views
+        # the key must cover EVERY field that changes the generated data
+        # (focal/near/far/cam_* included) plus a format version bumped
+        # whenever the generation code changes — a partial key silently
+        # serves stale ground truth
+        desc = json.dumps(
+            {"views": total_views, "version": _CACHE_VERSION,
+             **dataclasses.asdict(scene)},
+            sort_keys=True)
+        if desc in _GEN_MEMO:
+            self.data = _GEN_MEMO[desc]
+        elif cache_dir:
+            import hashlib
             import os
 
-            key = (f"synth_v{num_views}_f{scene.num_frames}_h{scene.H}"
-                   f"_w{scene.W}_k{scene.num_vehicles}_m{scene.n_march}.npz")
+            digest = hashlib.sha1(desc.encode()).hexdigest()[:16]
+            key = (f"synth_v{total_views}_f{scene.num_frames}_h{scene.H}"
+                   f"_k{scene.num_vehicles}_{digest}.npz")
             path = os.path.join(cache_dir, key)
             if os.path.exists(path):
                 with np.load(path) as z:
                     self.data = {k: z[k] for k in z.files}
             else:
-                self.data = scene.make_dataset(num_views=num_views)
+                self.data = scene.make_dataset(num_views=total_views)
                 os.makedirs(cache_dir, exist_ok=True)
                 tmp = path + ".tmp.npz"
                 np.savez(tmp, **self.data)
                 os.replace(tmp, path)
         else:
-            self.data = scene.make_dataset(num_views=num_views)
+            self.data = scene.make_dataset(num_views=total_views)
+        _GEN_MEMO[desc] = self.data
+
+        if num_val_views > 0:
+            sl = (slice(0, num_views) if split == "train"
+                  else slice(num_views, total_views))
+            self.data = dict(self.data)
+            for k in ("images", "depths", "dyn_masks", "rays_o", "rays_d"):
+                self.data[k] = self.data[k][sl]
         self.images = self.data["images"]
         self.rays_o = self.data["rays_o"]
         self.rays_d = self.data["rays_d"]
@@ -271,14 +308,24 @@ class SyntheticAdapter:
         return self._car_pools[key]
 
     def sample_batch(self, rng, n_rand, start_frame=0, current_frame=1, frame=None,
-                     car_sample_ratio=0.0, mixed_frames=False, **_):
+                     car_sample_ratio=0.0, mixed_frames=False,
+                     ghost_sample_ratio=0.0, frame0_sample_ratio=0.0, **_):
         """Random ray minibatch.
 
         mixed_frames=True samples each ray's frame independently from the
         window (batch["frame"] becomes an [N] int array), so every frame's
         pose gets gradient every step; car_sample_ratio reserves that
         fraction of rays for pixels on a vehicle (reference car-balanced
-        sampling, datasets/carla_star_online__.py:313-350)."""
+        sampling, datasets/carla_star_online__.py:313-350).
+
+        ghost_sample_ratio reserves rays through vehicle pixels of a
+        DIFFERENT in-window frame — supervising background where a vehicle
+        was/will be, which carves appearance-init vehicle ghosts out of the
+        static field. frame0_sample_ratio pins rays to frame 0 (pose =
+        identity by construction), anchoring the dynamic fields' canonical
+        frame without ground truth. Both force the mixed-frame layout."""
+        if ghost_sample_ratio > 0 or frame0_sample_ratio > 0:
+            mixed_frames = True
         if not mixed_frames:
             if frame is None:
                 frame = int(rng.integers(start_frame, current_frame))
@@ -287,16 +334,44 @@ class SyntheticAdapter:
             )
 
         V, F, H, W, _ = self.data["images"].shape
-        n_car = int(n_rand * car_sample_ratio)
         v = rng.integers(0, V, size=n_rand)
         f = rng.integers(start_frame, current_frame, size=n_rand)
         y = rng.integers(0, H, size=n_rand)
         x = rng.integers(0, W, size=n_rand)
+        lo = 0
+        n_car = int(n_rand * car_sample_ratio)
         if n_car > 0:
             pool = self._car_pool(start_frame, current_frame)
             if len(pool):
                 picks = pool[rng.integers(0, len(pool), size=n_car)]
-                v[:n_car], f[:n_car], y[:n_car], x[:n_car] = picks.T
+                v[lo:n_car], f[lo:n_car], y[lo:n_car], x[lo:n_car] = picks.T
+                lo = n_car
+        n_ghost = int(n_rand * ghost_sample_ratio)
+        if n_ghost > 0 and current_frame - start_frame > 1:
+            pool = self._car_pool(start_frame, current_frame)
+            if len(pool):
+                hi = min(lo + n_ghost, n_rand)
+                picks = pool[rng.integers(0, len(pool), size=hi - lo)]
+                pv, pf, py, px = picks.T
+                # redraw each ray's frame from the window EXCLUDING the frame
+                # the pixel's vehicle mask came from
+                shift = rng.integers(1, current_frame - start_frame, size=hi - lo)
+                other = start_frame + (pf - start_frame + shift) % (
+                    current_frame - start_frame)
+                v[lo:hi], f[lo:hi], y[lo:hi], x[lo:hi] = pv, other, py, px
+                lo = hi
+        n_f0 = int(n_rand * frame0_sample_ratio)
+        if n_f0 > 0 and start_frame == 0:
+            hi = min(lo + n_f0, n_rand)
+            # anchor rays: frame-0 VEHICLE pixels (the identity pose only
+            # constrains the dynamic field where the vehicle is visible)
+            pool0 = self._car_pool(0, 1)
+            if len(pool0):
+                picks = pool0[rng.integers(0, len(pool0), size=hi - lo)]
+                v[lo:hi], f[lo:hi], y[lo:hi], x[lo:hi] = picks.T
+            else:
+                f[lo:hi] = 0
+            lo = hi
         return {
             "rays_o": self.data["rays_o"][v, y, x],
             "rays_d": self.data["rays_d"][v, y, x],

@@ -161,6 +161,12 @@ def make_online_train_step(
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, key, epoch
         )
+        if trans_only or freeze_rot:
+            # zero the rotation gradients BEFORE the optimizer so frozen
+            # rotations leave the Adam moments untouched — otherwise the
+            # first unfrozen steps are driven by moments accumulated from
+            # gradients the freeze itself declares to be noise
+            grads["poses"] = grads["poses"].at[..., 3:7].set(0.0)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         # keep quaternions normalized after each update (the reference relies

@@ -83,6 +83,12 @@ class Config:
     chunk: int = 8192
     netchunk: int = 16384
 
+    # ray-axis data parallelism (parallel/mesh.py; a capability the
+    # strictly-single-GPU reference lacks, train_online__.py:1165-1166):
+    # "auto" = shard over all visible devices when >1, "off" = single-device,
+    # "on" = require a multi-device mesh (error if only one device)
+    data_parallel: str = "auto"
+
     # checkpoints
     ckpt_path: str = ""
     skip_appearance_init: bool = False
@@ -97,6 +103,69 @@ class Config:
     # every N epochs run one pose-only epoch (fields frozen) — breaks the
     # field/pose co-adaptation plateau; 0 disables (see STATUS.md)
     pose_only_every: int = 0
+    # minimum epochs between frame admissions after the initial window (the
+    # reference hardcodes 70, callbacks/online_training_callback.py:134-140)
+    epochs_between_frames: int = 70
+    # admission threshold after the first advance (the reference hardcodes
+    # 95e-5, callbacks/online_training_callback.py:121)
+    online_thres_tightened: float = 95e-5
+    # run seed (reference seed_everything(42|1453), train_online__.py:1229);
+    # data-sampler/prefetcher streams derive from it, so different seeds give
+    # different ray streams
+    seed: int = 1453
+
+    # --- pose recipe (validated in scripts/synthetic_e2e.py, promoted to the
+    # online app; see STATUS.md "Pose convergence work") ---
+    # freeze ALL pose updates for the first N epochs so the dynamic fields
+    # form before poses see gradients
+    pose_delay_epochs: int = 0
+    # rotations frozen while the BARF-warmup (end_barf) dynamic field is
+    # still coarse (a blurred field is nearly rotation-symmetric, so rotation
+    # gradients are noise)
+    barf_freeze_rot: bool = True
+    # car-ray fraction during pose-only epochs (-1 = car_sample_ratio)
+    car_sample_ratio_pose: float = -1.0
+    # fraction of rays drawn through vehicle pixels of a DIFFERENT frame than
+    # the one being rendered — supervises the background where a vehicle
+    # was/will be, carving frame-0 vehicle ghosts out of the static field
+    # (the appearance init bakes them in; an uncarved ghost leaves the
+    # dynamic field's position under-constrained — a gauge drift)
+    ghost_sample_ratio: float = 0.0
+    # fraction of rays pinned to frame 0, whose pose is identity by
+    # construction — anchors the dynamic fields' canonical frame during
+    # field-refit phases (gauge fix that needs no ground truth)
+    frame0_sample_ratio: float = 0.0
+
+    # --- post-curriculum polish stage ---
+    # refinement epochs after the curriculum completes; 0 = stop at
+    # curriculum completion (the reference behavior, train_online__.py)
+    polish_epochs: int = 0
+    # "alternate": block-coordinate descent — fields-only to plateau, then
+    # poses-only to plateau, repeated. "interleave": pose-only epochs with 1
+    # joint refresh per polish_joint_every (round-2 recipe).
+    polish_mode: str = "alternate"
+    polish_joint_every: int = 4
+    # pose-LR decay inside the polish stage (fresh optimizer moments)
+    polish_pose_lrate_decay: int = 12
+    polish_pose_lrate_decay_rate: float = 0.8
+    # alternation phase caps + loss-plateau detection
+    alt_field_epochs: int = 16
+    alt_pose_epochs: int = 6
+    alt_plateau_window: int = 2
+    alt_plateau_tol: float = 0.03
+
+    # --- best-epoch selection (GT-free by default) ---
+    # "photometric": held-out-val-view MSE over all admitted frames (usable
+    # on real data); "gt_pose": GT pose error (synthetic benchmarks only);
+    # "none": keep the final epoch
+    selection: str = "photometric"
+    # end the polish stage after N epochs without a new best score; 0 = off
+    selection_patience: int = 40
+    # wall-clock training budget in minutes (0 = epochs_online only)
+    train_minutes: float = 0.0
+    # stop once every vehicle's trans AND rot error is below this
+    # (requires dataset GT poses — synthetic benchmarks only; 0 = off)
+    target_pose_err: float = 0.0
     # sample each ray's frame independently from the curriculum window so
     # every frame's pose gets gradient every step (new capability; the
     # reference samples one frame per batch, carla_star_online__.py:287)
@@ -126,7 +195,17 @@ class Config:
     # dataset
     dataset_type: str = "carla"
     testskip: int = 8
-    num_workers: int = 4
+    # host-side prefetch workers (reference DataLoader(num_workers=4),
+    # train_online__.py:1064); drives data/prefetch.BatchPrefetcher
+    num_workers: int = 2
+    # synthetic dataset geometry (dataset_type = "synthetic"; the analytic
+    # benchmark scene — data/synthetic.py)
+    synth_height: int = 64
+    synth_views: int = 8
+    # extra held-out views exposed as the val/test split (never sampled in
+    # training; the photometric selection criterion renders these)
+    synth_val_views: int = 1
+    synth_cache_dir: str = ""
     scale_factor: float = -1.0
     half_res: bool = False
     factor: int = 8

@@ -35,12 +35,24 @@ scale_factor = 0.01
 
 
 def test_all_shipped_configs_parse():
+    """Every shipped experiment file parses, every key in it is a real
+    Config field (parse_config_file silently drops unknown keys — a typo'd
+    flag in a shipped config would otherwise be dead), and the result maps
+    onto a StarConfig. Covers the 15 reference config ports."""
     cfg_dir = os.path.join(os.path.dirname(config_mod.__file__), "..", "configs")
     files = glob.glob(os.path.join(cfg_dir, "*.txt"))
-    assert len(files) >= 8
+    assert len(files) >= 15
     for f in files:
+        with open(f) as fp:
+            for line in fp:
+                line = line.split("#", 1)[0].strip()
+                if line and "=" in line:
+                    key = line.split("=", 1)[0].strip()
+                    assert key in config_mod._FIELDS, (f, key)
         values = config_mod.parse_config_file(f)
         assert "expname" in values, f
+        cfg = config_mod.load_config(["--config", f])
+        config_mod.star_config_from(cfg)
 
 
 def test_star_config_mapping():
@@ -217,6 +229,66 @@ def test_online_pose_only_phases(tmp_path):
     params = online.train(cfg)
     q = np.asarray(params["poses"][..., 3:7])
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
+
+
+def test_online_phase_machine_and_selection(tmp_path):
+    """The promoted pose recipe drives the production app through its phase
+    machine: fieldform -> barf -> joint curriculum -> block-coordinate polish
+    with GT-free photometric best-epoch selection (round-2 VERDICT #1-#3)."""
+    from startrax.apps import online
+
+    cfg = _tiny_synthetic_cfg(
+        tmp_path, epochs_online=10, online_thres=1e9,
+        online_thres_tightened=1e9, initial_num_frames=5,
+        noisy_pose_init=True, steps_per_epoch=4,
+        pose_delay_epochs=1, end_barf=2, barf_freeze_rot=True,
+        epochs_between_frames=0,  # compress the reference's 70-epoch gap
+        polish_epochs=4, polish_mode="alternate",
+        alt_field_epochs=1, alt_pose_epochs=1,
+        ghost_sample_ratio=0.1, frame0_sample_ratio=0.1,
+        selection="photometric", selection_patience=0,
+    )
+    online.train(cfg)
+    run_dir = tmp_path / "smoke" / "online"
+    history = json.loads((run_dir / "history.json").read_text())
+    phases = [h["phase"] for h in history]
+    for expected in ("fieldform", "barf", "joint", "polish_field",
+                     "polish_pose"):
+        assert expected in phases, (expected, phases)
+    assert phases.index("fieldform") < phases.index("barf") < phases.index("joint")
+    assert phases.index("joint") < phases.index("polish_field")
+    # post-curriculum epochs carry the GT-free selection score
+    scored = [h for h in history if "score" in h]
+    assert scored and all(np.isfinite(h["score"]) for h in scored)
+    # best-epoch snapshot checkpointed
+    assert (run_dir / "ckpts_best").exists()
+
+
+def test_online_app_sharded_matches_unsharded(tmp_path):
+    """The app's OWN epoch path trains ray-sharded over the virtual-device
+    mesh (data_parallel=on) and matches the unsharded run (round-2 VERDICT
+    #4; semantics proven at step level in test_parallel.py)."""
+    import jax
+    from startrax.apps import online
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multiple devices")
+    common = dict(
+        epochs_online=2, online_thres=1e-12, noisy_pose_init=True,
+        steps_per_epoch=4, num_workers=1, seed=11,  # 1 worker: deterministic
+    )
+    cfg_off = _tiny_synthetic_cfg(tmp_path / "off", data_parallel="off", **common)
+    cfg_on = _tiny_synthetic_cfg(tmp_path / "on", data_parallel="on", **common)
+    p_off = online.train(cfg_off)
+    p_on = online.train(cfg_on)
+    h_off = json.loads(
+        (tmp_path / "off" / "smoke" / "online" / "history.json").read_text())
+    h_on = json.loads(
+        (tmp_path / "on" / "smoke" / "online" / "history.json").read_text())
+    np.testing.assert_allclose([h["fine"] for h in h_on],
+                               [h["fine"] for h in h_off], rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(p_on["poses"]),
+                               np.asarray(p_off["poses"]), atol=1e-4)
 
 
 def test_frame_metrics_full_suite(tmp_path):

@@ -272,3 +272,42 @@ def test_online_test_protocol_on_carla(carla_dir, tmp_path):
     assert any(k.startswith("test/view0_frame_psnr") for k in keys)
     assert (run_dir / "poses_vehicle0.txt").exists()
     assert (run_dir / "view0.mp4").exists() or (run_dir / "view0.gif").exists()
+
+
+def test_carla_ghost_and_frame0_sampling(carla_dir):
+    """Gauge-anchor sampling modes (promoted pose recipe): ghost rays re-draw
+    a car pixel's frame from a DIFFERENT in-window frame (carving static-field
+    ghosts); frame-0 anchor rays pin to frame-0 car pixels (identity pose by
+    construction). Both force the mixed-frame layout."""
+    scene = CarlaScene(_cfg(carla_dir), "train")
+    rng = np.random.default_rng(3)
+    b = scene.sample_batch(
+        rng, 64, start_frame=0, current_frame=N_FRAMES,
+        car_sample_ratio=0.25, ghost_sample_ratio=0.25,
+        frame0_sample_ratio=0.25)
+    assert b["frame"].shape == (64,)
+    assert b["frame"].min() >= 0 and b["frame"].max() < N_FRAMES
+    assert b["target"].shape == (64, 3)
+
+
+def test_synthetic_split_and_anchor_sampling():
+    """num_val_views generates extra held-out views: split="train" and
+    split="val" expose disjoint view ranges of one shared generated dataset
+    (in-process memo), and the anchor sampling modes force per-ray frames."""
+    from startrax.data.synthetic import SyntheticAdapter, SyntheticScene
+
+    scene = SyntheticScene(num_vehicles=1, num_frames=4, H=24, W=24,
+                           focal=24.0)
+    tr = SyntheticAdapter(scene, num_views=3, num_val_views=2, split="train")
+    va = SyntheticAdapter(scene, num_views=3, num_val_views=2, split="val")
+    assert tr.images.shape[0] == 3 and va.images.shape[0] == 2
+    # held-out views are different camera positions
+    assert not np.allclose(tr.rays_o[0, 0, 0], va.rays_o[0, 0, 0])
+    rng = np.random.default_rng(0)
+    b = tr.sample_batch(rng, 64, start_frame=0, current_frame=4,
+                        car_sample_ratio=0.25, ghost_sample_ratio=0.25,
+                        frame0_sample_ratio=0.25)
+    assert b["frame"].shape == (64,)  # anchor modes force mixed layout
+    # anchor slots (after the car + ghost reserves) are pinned to frame 0
+    assert (np.asarray(b["frame"][32:48]) == 0).all()
+    assert len(np.unique(b["frame"])) > 1
