@@ -40,6 +40,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE = 1024
+# The backward kernel's per-tile fixed costs (weight-grad accumulation into
+# the VMEM-resident f32 blocks, forward recompute staging, in-kernel PE) are
+# amortized over the tile; a larger backward tile halves the number of
+# accumulation rounds per call. Kept separate from the forward tile: the
+# backward holds ~10 [T, W] bf16 activation saves plus live grad chains, so
+# its VMEM ceiling, not launch overhead, binds the tile. Env-overridable for
+# measurement (STARTRAX_BWD_TILE=2048 python bench.py).
+DEFAULT_BWD_TILE = int(__import__("os").environ.get("STARTRAX_BWD_TILE", "1024"))
 
 
 def _is_tpu() -> bool:
@@ -330,8 +338,8 @@ def _pad_to(x, n_target):
     return jnp.concatenate([x, pad], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _fused_apply_flat(n_blocks, tile, interpret, pe, x_emb, d_emb, *weights):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, x_emb, d_emb, *weights):
     return _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights)
 
 
@@ -404,13 +412,14 @@ def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights):
     return out[:n]
 
 
-def _fused_fwd_rule(n_blocks, tile, interpret, pe, x_emb, d_emb, *weights):
+def _fused_fwd_rule(n_blocks, tile, bwd_tile, interpret, pe, x_emb, d_emb, *weights):
     out = _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights)
     return out, (x_emb, d_emb, weights)
 
 
-def _fused_bwd_rule(n_blocks, tile, interpret, pe, residuals, g):
+def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, residuals, g):
     x_emb, d_emb, weights = residuals
+    tile = bwd_tile or tile
     n = x_emb.shape[0]
     n_pad = pl.cdiv(n, tile) * tile
     xp = _pad_to(x_emb, n_pad)
@@ -473,6 +482,7 @@ def fused_field_apply(
     tile: int = DEFAULT_TILE,
     interpret: bool | None = None,
     pe=None,
+    bwd_tile: int | None = None,
 ):
     """Fused MLP: encoded points [N, in_ch] + encoded dirs [N, view_ch] ->
     (raw_alpha [N], raw_rgb [N, 3]). Differentiable (custom VJP).
@@ -482,8 +492,10 @@ def fused_field_apply(
     kernel — no [N, 90] encode arrays in HBM."""
     if interpret is None:
         interpret = not _is_tpu()
+    if bwd_tile is None:
+        bwd_tile = DEFAULT_BWD_TILE
     flat = flatten_params(params, n_blocks)
-    out = _fused_apply_flat(n_blocks, tile, interpret, pe, x_emb, d_emb, *flat)
+    out = _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, x_emb, d_emb, *flat)
     return out[:, 0], out[:, 1:4]
 
 

@@ -237,6 +237,7 @@ def render_star(
             result_coarse["weights"],
             cfg.n_importance,
             det=not train,
+            reference_numerics=cfg.reference_numerics,
         )
         pts_fine = pts_from_z(rays_o, rays_d, z_union)
         result_fine = apply_star(

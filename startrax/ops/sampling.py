@@ -51,11 +51,35 @@ def pts_from_z(rays_o, rays_d, z_vals):
     return rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
 
 
-def sample_pdf(key, bins, weights, n_samples: int, det: bool = False):
+def merge_sorted(a, b):
+    """Merge per-row ascending a [..., A] and b [..., B] into one ascending
+    [..., A+B] array with a bitonic MERGE — log2(A+B) compare-exchange stages
+    of elementwise min/max, vs the ~log^2 stages of a full sort network.
+    Requires A+B to be a power of two (the NeRF coarse+fine unions are:
+    64+64, 256+256); asserts otherwise."""
+    x = jnp.concatenate([a, b[..., ::-1]], axis=-1)  # ascending+descending = bitonic
+    n = x.shape[-1]
+    assert n & (n - 1) == 0, f"merge_sorted needs a power-of-two union, got {n}"
+    k = n // 2
+    while k >= 1:
+        y = x.reshape(x.shape[:-1] + (n // (2 * k), 2, k))
+        lo = jnp.minimum(y[..., 0, :], y[..., 1, :])
+        hi = jnp.maximum(y[..., 0, :], y[..., 1, :])
+        x = jnp.stack([lo, hi], axis=-2).reshape(x.shape)
+        k //= 2
+    return x
+
+
+def sample_pdf(key, bins, weights, n_samples: int, det: bool = False,
+               stratified: bool = False):
     """Inverse-CDF sampling of n_samples depths from a per-ray histogram.
 
     bins: [R, B+1] bin edges (z midpoints), weights: [R, B] coarse weights.
-    det=True uses evenly spaced u (eval); otherwise uniform randoms.
+    det=True uses evenly spaced u (eval); otherwise uniform randoms —
+    iid like the reference (rendering__.py:738), or stratified jittered
+    (u_i = (i + rand)/n, mip-NeRF style) with stratified=True. Stratified u
+    is ascending, so the returned samples are per-ray sorted (the CDF
+    inverse is monotone), which makes the coarse/fine union a cheap merge.
     Matches reference sample_pdf (rendering__.py:719-761) numerically.
     """
     import chex
@@ -75,6 +99,9 @@ def sample_pdf(key, bins, weights, n_samples: int, det: bool = False):
     if det or key is None:
         u = jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype)
         u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    elif stratified:
+        r = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,), dtype=cdf.dtype)
+        u = (jnp.arange(n_samples, dtype=cdf.dtype) + r) / n_samples
     else:
         u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,), dtype=cdf.dtype)
 
@@ -105,13 +132,27 @@ def sample_pdf(key, bins, weights, n_samples: int, det: bool = False):
     return bins_below + t * (bins_above - bins_below)
 
 
-def hierarchical_z_vals(key, z_vals, weights, n_importance: int, det: bool):
+def hierarchical_z_vals(key, z_vals, weights, n_importance: int, det: bool,
+                        reference_numerics: bool = False):
     """Coarse weights -> sorted union of coarse z and importance samples.
 
     Returns (z_union [R, S+I], z_samples [R, I]); z_samples is already
-    stop-gradiented (the reference detaches, rendering__.py:135)."""
+    stop-gradiented (the reference detaches, rendering__.py:135).
+
+    Default path draws stratified (sorted) importance samples so the union is
+    a bitonic MERGE of two sorted sequences instead of a full sort of S+I
+    values; reference_numerics=True keeps the reference's iid uniforms
+    (rendering__.py:738) + full sort. The det/eval path's linspace u is
+    always sorted, so it always merges."""
     z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_samples = sample_pdf(key, z_mid, weights[..., 1:-1], n_importance, det=det)
+    stratified = not reference_numerics
+    z_samples = sample_pdf(key, z_mid, weights[..., 1:-1], n_importance,
+                           det=det, stratified=stratified)
     z_samples = jax.lax.stop_gradient(z_samples)
-    z_union = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+    n_union = z_vals.shape[-1] + n_importance
+    sorted_samples = det or key is None or stratified
+    if sorted_samples and (n_union & (n_union - 1)) == 0:
+        z_union = merge_sorted(z_vals, z_samples)
+    else:
+        z_union = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
     return z_union, z_samples

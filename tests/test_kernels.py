@@ -76,6 +76,26 @@ def test_fused_weight_grads_close_to_xla():
         )
 
 
+def test_fused_bwd_tile_decoupled_from_fwd_tile():
+    """The backward grid may use a larger tile than the forward (fewer
+    weight-grad accumulation rounds); gradients must not depend on it."""
+    params, pts, dirs, emb, emb_d = _setup(seed=5, n_rays=4, n_samples=24)  # 96 pts
+
+    def loss(p, bwd_tile):
+        a, r = fused_field_apply(
+            p, emb, emb_d, CFG.n_blocks, tile=32, interpret=True, bwd_tile=bwd_tile
+        )
+        return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+    g_small = jax.grad(lambda p: loss(p, 32))(params)
+    g_large = jax.grad(lambda p: loss(p, 64))(params)  # 96 pads to 128, 2 rounds
+    for a, b in zip(jax.tree.leaves(g_small), jax.tree.leaves(g_large)):
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5
+        )
+
+
 def test_fused_input_grads_flow():
     """d loss / d encoded inputs must be nonzero and close to XLA — this is
     the path pose gradients take."""

@@ -89,6 +89,56 @@ def test_hierarchical_union_sorted():
     assert np.all(np.diff(zu, axis=-1) >= 0)
 
 
+def test_merge_sorted_equals_full_sort():
+    rng = np.random.default_rng(3)
+    a = np.sort(rng.normal(size=(5, 32)), axis=-1)
+    b = np.sort(rng.normal(size=(5, 32)), axis=-1)
+    merged = np.asarray(sampling.merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+    expect = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
+    np.testing.assert_allclose(merged, expect)
+
+
+def test_sample_pdf_stratified_is_sorted_and_on_distribution():
+    key = jax.random.PRNGKey(7)
+    bins = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 17), (64, 17))
+    w = np.ones((64, 16), np.float32)
+    w[:, 8] = 50.0  # peak in bin 8
+    zs = sampling.sample_pdf(key, bins, jnp.asarray(w), 64, det=False,
+                             stratified=True)
+    zs = np.asarray(zs)
+    assert np.all(np.diff(zs, axis=-1) >= 0)  # ascending per ray
+    lo, hi = bins[0, 8], bins[0, 9]
+    frac = np.mean((zs >= lo) & (zs <= hi))
+    assert frac > 0.5  # mass concentrates on the peaked bin
+
+
+def test_hierarchical_power_of_two_union_merges_correctly():
+    """Default (stratified) path on a power-of-two union takes the bitonic
+    merge; the result must still be the ascending union of both sets."""
+    key = jax.random.PRNGKey(4)
+    z = sampling.stratified_z_vals(None, 8, 2.0, 6.0, 32, perturb=0.0)
+    w = jax.random.uniform(key, (8, 32))
+    z_union, z_samples = sampling.hierarchical_z_vals(key, z, w, 32, det=False)
+    assert z_union.shape == (8, 64)
+    zu = np.asarray(z_union)
+    assert np.all(np.diff(zu, axis=-1) >= 0)
+    expect = np.sort(
+        np.concatenate([np.asarray(z), np.asarray(z_samples)], axis=-1), axis=-1
+    )
+    np.testing.assert_allclose(zu, expect)
+
+
+def test_hierarchical_reference_numerics_keeps_iid_sort_path():
+    key = jax.random.PRNGKey(5)
+    z = sampling.stratified_z_vals(None, 8, 2.0, 6.0, 32, perturb=0.0)
+    w = jax.random.uniform(key, (8, 32))
+    z_union, z_samples = sampling.hierarchical_z_vals(
+        key, z, w, 32, det=False, reference_numerics=True)
+    zs = np.asarray(z_samples)
+    assert not np.all(np.diff(zs, axis=-1) >= 0)  # iid u: unsorted samples
+    assert np.all(np.diff(np.asarray(z_union), axis=-1) >= 0)
+
+
 # ----------------------------- encodings ----------------------------------
 
 
