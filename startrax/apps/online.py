@@ -396,10 +396,17 @@ def train(cfg: Config):
                     params, opt_state_pose, avg = run_phase_epoch(
                         step_fn_pose, opt_state_pose, epoch, car_pose, 0.0, 0.0)
                 else:
+                    # no ghost/frame-0 anchor rays here: the curriculum
+                    # admission threshold (online_thres, reference
+                    # online_training_callback.py:104) is calibrated on plain
+                    # photometric loss — anchor rays through un-carved static
+                    # ghosts inflate the epoch average ~3x above the
+                    # threshold and stall admission (measured r3). Anchors
+                    # stay on in fieldform/barf (no admission there) and the
+                    # post-curriculum polish field phases.
                     params, opt_state, avg = run_phase_epoch(
                         step_fn, opt_state, epoch,
-                        cfg.car_sample_ratio, cfg.ghost_sample_ratio,
-                        cfg.frame0_sample_ratio)
+                        cfg.car_sample_ratio, 0.0, 0.0)
 
             prev_frame = cur.current_frame
             if not cur.done and not in_fieldform and not in_barf \
