@@ -189,8 +189,11 @@ def train(cfg: Config):
 
     # fields-only steps (pose LR 0): the field-forming warmup phase and the
     # alternation field phases share one optimizer
+    # refit_anchor falls through to alternate after pose recovery, so it
+    # needs the fields-only optimizer too
     need_field_tx = (cfg.pose_delay_epochs > 0
-                     or (cfg.polish_epochs > 0 and cfg.polish_mode == "alternate"))
+                     or (cfg.polish_epochs > 0
+                         and cfg.polish_mode in ("alternate", "refit_anchor")))
     opt_state_field = None
     if need_field_tx:
         tx_field = optim.make_fused_star_optimizer(
@@ -224,6 +227,16 @@ def train(cfg: Config):
         opt_state_polish = tx_polish.init(params)
         step_fn_polish = loop.make_online_train_step(
             star_cfg, loss_cfg, tx_polish, trans_only=cfg.pose_trans_only)
+
+    # refit_anchor: dynamic-fields-only optimizer for the frame-0 re-fit
+    # (static and poses pinned; fresh moments at stage entry)
+    tx_refit = None
+    if (cfg.polish_epochs > 0 and cfg.polish_mode == "refit_anchor"
+            and not cfg.load_gt_poses):
+        tx_refit = optim.make_fused_star_optimizer(
+            params, lrate_static=0.0, lrate_dynamic=cfg.lrate_dynamic,
+            lrate_pose=0.0, **nerf_decay, **opt_kw)
+        step_fn_refit = loop.make_online_train_step(star_cfg, loss_cfg, tx_refit)
 
     cur_cfg = CurriculumConfig(
         num_frames=cfg.num_frames,
@@ -299,14 +312,20 @@ def train(cfg: Config):
     history = []
     # alternation sub-state (polish_mode = "alternate")
     alt_phase, alt_losses, alt_rounds = "field", [], 0
+    # refit_anchor sub-state: field (frame-0 dynamic re-fit) -> pose ->
+    # alternate for the remainder
+    refit = {"stage": "field", "used": 0}
     polish_used = 0
     step = 0
     stop_reason = ""
 
-    def run_phase_epoch(fn, opt_st, epoch, car, ghost, f0):
+    def run_phase_epoch(fn, opt_st, epoch, car, ghost, f0, window=None):
         nonlocal key, step
+        start, end = (window if window is not None
+                      else (cur.start_frame,
+                            min(cur.current_frame, cfg.num_frames)))
         sample_state.update(
-            start=cur.start_frame, end=min(cur.current_frame, cfg.num_frames),
+            start=start, end=end,
             crop=epoch < cfg.precrop_iters, car=car, ghost=ghost, f0=f0)
         fines = []
         p = params
@@ -350,7 +369,49 @@ def train(cfg: Config):
                     stop_reason = "polish budget"
                     break
                 polish_used += 1
-                if cfg.polish_mode == "alternate":
+                mode = cfg.polish_mode
+                if mode == "refit_anchor":
+                    mode = "alternate" if refit["stage"] == "alternate" else mode
+                if mode == "refit_anchor" and refit["stage"] == "field":
+                    if refit["used"] == 0:
+                        # re-anchor: FRESH canonical dynamic fields, fit from
+                        # frame-0 rays only (identity pose, exact by
+                        # construction) — fields trained under wrong poses
+                        # place the photometric optimum at the wrong poses
+                        # (the alternate mode's fixed point); frame-0 fields
+                        # carry no pose-error bias (floor_diag_r3)
+                        from ..models.fields import init_stacked_fields
+                        key, kc, kf = jax.random.split(key, 3)
+                        nerf = dict(params["nerf"])
+                        nerf["dynamic_coarse"] = init_stacked_fields(
+                            kc, star_cfg.dynamic_field(), star_cfg.num_vehicles)
+                        if "dynamic_fine" in nerf:
+                            nerf["dynamic_fine"] = init_stacked_fields(
+                                kf, star_cfg.dynamic_field(fine=True),
+                                star_cfg.num_vehicles)
+                        params = dict(params, nerf=nerf)
+                        if mesh is not None:
+                            params = meshlib.replicate_params(params, mesh)
+                        opt_state_refit = tx_refit.init(params)
+                        ws.log("refit_anchor: dynamic fields re-initialized, "
+                               "fitting from frame 0")
+                    phase = "refit_field"
+                    params, opt_state_refit, avg = run_phase_epoch(
+                        step_fn_refit, opt_state_refit, epoch,
+                        car_pose, 0.0, 0.0, window=(0, 1))
+                    refit["used"] += 1
+                    if refit["used"] >= cfg.refit_epochs:
+                        refit.update(stage="pose", used=0)
+                elif mode == "refit_anchor":  # refit["stage"] == "pose"
+                    phase = "refit_pose"
+                    params, opt_state_polish, avg = run_phase_epoch(
+                        step_fn_polish, opt_state_polish, epoch,
+                        car_pose, 0.0, 0.0)
+                    refit["used"] += 1
+                    if refit["used"] >= cfg.refit_pose_epochs:
+                        refit.update(stage="alternate", used=0)
+                        ws.log("refit_anchor: pose recovery done -> alternate")
+                elif mode == "alternate":
                     if alt_phase == "field":
                         phase = "polish_field"
                         params, opt_state_field, avg = run_phase_epoch(

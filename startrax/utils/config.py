@@ -142,8 +142,19 @@ class Config:
     polish_epochs: int = 0
     # "alternate": block-coordinate descent — fields-only to plateau, then
     # poses-only to plateau, repeated. "interleave": pose-only epochs with 1
-    # joint refresh per polish_joint_every (round-2 recipe).
+    # joint refresh per polish_joint_every (round-2 recipe). "refit_anchor":
+    # re-initialize the dynamic fields and re-fit them from FRAME-0 rays only
+    # (identity pose — exact by construction, so the canonical fields carry
+    # zero pose-error bias), then run poses-only against the frozen fields
+    # (the regime measured to contract 100x in artifacts/floor_diag_r3.json),
+    # then fall through to "alternate". GT-free: breaks the alternate mode's
+    # fixed point where fields absorb the pose error and the photometric
+    # optimum sits at the wrong poses.
     polish_mode: str = "alternate"
+    # refit_anchor stage lengths: dynamic re-fit epochs at frame 0, then
+    # pose-only epochs against the frozen re-anchored fields
+    refit_epochs: int = 12
+    refit_pose_epochs: int = 20
     polish_joint_every: int = 4
     # pose-LR decay inside the polish stage (fresh optimizer moments)
     polish_pose_lrate_decay: int = 12

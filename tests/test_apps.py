@@ -264,6 +264,37 @@ def test_online_phase_machine_and_selection(tmp_path):
     assert (run_dir / "ckpts_best").exists()
 
 
+def test_online_refit_anchor_polish(tmp_path):
+    """polish_mode=refit_anchor: dynamic fields re-initialized and re-fit
+    from frame-0 rays, poses-only recovery, then alternate — the GT-free
+    transplant of the floor-diagnostic regime (artifacts/floor_diag_r3.json)
+    that breaks the alternate mode's fields-absorb-pose-error fixed point."""
+    import numpy as np
+    from startrax.apps import online
+
+    cfg = _tiny_synthetic_cfg(
+        tmp_path, epochs_online=12, online_thres=1e9,
+        online_thres_tightened=1e9, initial_num_frames=5,
+        noisy_pose_init=True, steps_per_epoch=4,
+        epochs_between_frames=0,
+        polish_epochs=8, polish_mode="refit_anchor",
+        refit_epochs=2, refit_pose_epochs=2,
+        alt_field_epochs=1, alt_pose_epochs=1,
+        selection="photometric", selection_patience=0,
+    )
+    params = online.train(cfg)
+    run_dir = tmp_path / "smoke" / "online"
+    history = json.loads((run_dir / "history.json").read_text())
+    phases = [h["phase"] for h in history]
+    for expected in ("refit_field", "refit_pose", "polish_field"):
+        assert expected in phases, (expected, phases)
+    assert phases.index("refit_field") < phases.index("refit_pose")
+    assert phases.index("refit_pose") < phases.index("polish_field")
+    assert phases.count("refit_field") == 2 and phases.count("refit_pose") == 2
+    q = np.asarray(params["poses"][..., 3:7])
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
+
+
 def test_online_app_sharded_matches_unsharded(tmp_path):
     """The app's OWN epoch path trains ray-sharded over the virtual-device
     mesh (data_parallel=on) and matches the unsharded run (round-2 VERDICT
