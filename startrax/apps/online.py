@@ -237,6 +237,12 @@ def train(cfg: Config):
             params, lrate_static=0.0, lrate_dynamic=cfg.lrate_dynamic,
             lrate_pose=0.0, **nerf_decay, **opt_kw)
         step_fn_refit = loop.make_online_train_step(star_cfg, loss_cfg, tx_refit)
+        step_fn_refit_pose = (
+            loop.make_online_train_step(
+                star_cfg, loss_cfg, tx_polish,
+                trans_only=cfg.pose_trans_only,
+                freeze_rot=cfg.refit_pose_freeze_rot and not cfg.pose_trans_only)
+            if cfg.refit_pose_freeze_rot else step_fn_polish)
 
     cur_cfg = CurriculumConfig(
         num_frames=cfg.num_frames,
@@ -398,14 +404,16 @@ def train(cfg: Config):
                     phase = "refit_field"
                     params, opt_state_refit, avg = run_phase_epoch(
                         step_fn_refit, opt_state_refit, epoch,
-                        car_pose, 0.0, 0.0, window=(0, 1))
+                        car_pose, 0.0, 0.0,
+                        window=(0, max(1, min(cfg.refit_window,
+                                              cfg.num_frames))))
                     refit["used"] += 1
                     if refit["used"] >= cfg.refit_epochs:
                         refit.update(stage="pose", used=0)
                 elif mode == "refit_anchor":  # refit["stage"] == "pose"
                     phase = "refit_pose"
                     params, opt_state_polish, avg = run_phase_epoch(
-                        step_fn_polish, opt_state_polish, epoch,
+                        step_fn_refit_pose, opt_state_polish, epoch,
                         car_pose, 0.0, 0.0)
                     refit["used"] += 1
                     if refit["used"] >= cfg.refit_pose_epochs:

@@ -81,7 +81,7 @@ def render_nerf_time(
         z_union, z_samples = hierarchical_z_vals(
             k_pdf if train else None, z_vals, result_coarse["weights"],
             cfg.n_importance, det=not train,
-            reference_numerics=cfg.reference_numerics,
+            stratified=cfg.stratified_fine,
         )
         pts_fine = pts_from_z(rays_o, rays_d, z_union)
         raw_alpha_f, raw_rgb_f = apply_field(

@@ -62,6 +62,11 @@ class StarConfig:
     # exactly as the reference does (rendering__.py:416-418), instead of the
     # default post-softplus density sum. A/B lever for parity studies.
     reference_numerics: bool = False
+    # Draw importance samples from stratified ascending u (mip-NeRF style;
+    # enables the bitonic-merge z-union) instead of the reference's iid
+    # uniforms (rendering__.py:738). Decoupled from reference_numerics so the
+    # sampling and compositing conventions can be attributed independently.
+    stratified_fine: bool = True
 
     def static_field(self, fine: bool = False) -> FieldConfig:
         return FieldConfig(
@@ -237,7 +242,7 @@ def render_star(
             result_coarse["weights"],
             cfg.n_importance,
             det=not train,
-            reference_numerics=cfg.reference_numerics,
+            stratified=cfg.stratified_fine,
         )
         pts_fine = pts_from_z(rays_o, rays_d, z_union)
         result_fine = apply_star(

@@ -133,19 +133,18 @@ def sample_pdf(key, bins, weights, n_samples: int, det: bool = False,
 
 
 def hierarchical_z_vals(key, z_vals, weights, n_importance: int, det: bool,
-                        reference_numerics: bool = False):
+                        stratified: bool = True):
     """Coarse weights -> sorted union of coarse z and importance samples.
 
     Returns (z_union [R, S+I], z_samples [R, I]); z_samples is already
     stop-gradiented (the reference detaches, rendering__.py:135).
 
-    Default path draws stratified (sorted) importance samples so the union is
-    a bitonic MERGE of two sorted sequences instead of a full sort of S+I
-    values; reference_numerics=True keeps the reference's iid uniforms
+    stratified=True (default) draws stratified (sorted) importance samples so
+    the union is a bitonic MERGE of two sorted sequences instead of a full
+    sort of S+I values; stratified=False keeps the reference's iid uniforms
     (rendering__.py:738) + full sort. The det/eval path's linspace u is
     always sorted, so it always merges."""
     z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    stratified = not reference_numerics
     z_samples = sample_pdf(key, z_mid, weights[..., 1:-1], n_importance,
                            det=det, stratified=stratified)
     z_samples = jax.lax.stop_gradient(z_samples)

@@ -51,6 +51,9 @@ class Config:
     # alpha, reproducing the reference exactly (rendering__.py:416-418);
     # default False = post-softplus density sum (see ops/compositing.py)
     reference_numerics: bool = False
+    # stratified (sorted) importance-sample u's + bitonic-merge z-union;
+    # false = the reference's iid uniforms + full sort (rendering__.py:738)
+    stratified_fine: bool = True
 
     # sampling / rendering
     N_rand: int = 1000
@@ -155,6 +158,15 @@ class Config:
     # pose-only epochs against the frozen re-anchored fields
     refit_epochs: int = 12
     refit_pose_epochs: int = 20
+    # frames used for the re-fit: 1 = frame 0 only (zero pose bias, but the
+    # vehicle is seen from one time instant — rotations under-constrained);
+    # k > 1 adds frames 1..k-1 at their current pose estimates (bounded bias,
+    # much better viewpoint coverage)
+    refit_window: int = 1
+    # freeze rotations during the refit pose stage (translations only) —
+    # guards against rotation runaway when the refit window leaves vehicle
+    # appearance under-constrained from unseen viewpoints
+    refit_pose_freeze_rot: bool = False
     polish_joint_every: int = 4
     # pose-LR decay inside the polish stage (fresh optimizer moments)
     polish_pose_lrate_decay: int = 12
@@ -363,6 +375,7 @@ def star_config_from(cfg: Config):
         end_barf=cfg.end_barf,
         compute_dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32,
         reference_numerics=cfg.reference_numerics,
+        stratified_fine=cfg.stratified_fine,
     )
 
 

@@ -128,12 +128,12 @@ def test_hierarchical_power_of_two_union_merges_correctly():
     np.testing.assert_allclose(zu, expect)
 
 
-def test_hierarchical_reference_numerics_keeps_iid_sort_path():
+def test_hierarchical_iid_sort_path():
     key = jax.random.PRNGKey(5)
     z = sampling.stratified_z_vals(None, 8, 2.0, 6.0, 32, perturb=0.0)
     w = jax.random.uniform(key, (8, 32))
     z_union, z_samples = sampling.hierarchical_z_vals(
-        key, z, w, 32, det=False, reference_numerics=True)
+        key, z, w, 32, det=False, stratified=False)
     zs = np.asarray(z_samples)
     assert not np.all(np.diff(zs, axis=-1) >= 0)  # iid u: unsorted samples
     assert np.all(np.diff(np.asarray(z_union), axis=-1) >= 0)
