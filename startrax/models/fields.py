@@ -231,6 +231,22 @@ def apply_stacked_fields(params: Params, cfg: FieldConfig, pts, viewdirs, step=N
     chex.assert_shape(pts, (n, R, S, 3))
     chex.assert_shape(viewdirs, (n, R, 3))
     if _resolve_use_fused(cfg):
+        barf_active = step is not None and cfg.end_barf > 0
+        import os as _os
+
+        if (_os.environ.get("STARTRAX_STACKED_KERNEL") == "1"
+                and cfg.input_dims == 3 and not barf_active):
+            # measurement switch for the single-launch variant (exact
+            # parity, tests/test_kernels.py): K fields, one pallas_call
+            from ..kernels.fused_mlp import fused_stacked_apply
+
+            x = pts.reshape(n, R * S, 3)
+            d = jnp.broadcast_to(viewdirs[:, :, None, :], (n, R, S, 3))
+            d = d.reshape(n, R * S, 3)
+            a, r = fused_stacked_apply(
+                params, x, d, cfg.n_blocks,
+                pe=(cfg.multires, cfg.multires_views))
+            return a.reshape(n, R, S), r.reshape(n, R, S, 3)
         outs = [
             apply_field(
                 jax.tree.map(lambda x, k=k: x[k], params), cfg, pts[k], viewdirs[k],
