@@ -236,13 +236,14 @@ class CarlaScene:
 
     # ---------------- batch sampling ----------------
 
-    def _car_pool(self, start: int, end: int) -> np.ndarray:
+    def _car_pool(self, start: int, end: int, view_range=None) -> np.ndarray:
         """Cached (v, f, y, x) indices of car pixels in the frame window."""
-        key = (start, end)
+        vlo, vhi = view_range or (0, self.images.shape[0])
+        key = (start, end, vlo, vhi)
         if key not in self._car_pools:
-            m = self.semantic[:, start:end] == CAR_SEMANTIC_ID  # [V, W_f, H, W]
+            m = self.semantic[vlo:vhi, start:end] == CAR_SEMANTIC_ID
             v, f, y, x = np.nonzero(m)
-            self._car_pools[key] = np.stack([v, f + start, y, x], axis=-1)
+            self._car_pools[key] = np.stack([v + vlo, f + start, y, x], axis=-1)
         return self._car_pools[key]
 
     def sample_batch(
@@ -257,6 +258,7 @@ class CarlaScene:
         mixed_frames: bool = False,
         ghost_sample_ratio: float = 0.0,
         frame0_sample_ratio: float = 0.0,
+        view_range=None,
     ) -> Dict[str, np.ndarray]:
         """Random ray minibatch from a random in-window frame
         (reference __getitem__, carla_star_online__.py:287-350).
@@ -270,13 +272,17 @@ class CarlaScene:
         semantics): see data/synthetic.SyntheticAdapter.sample_batch — ghost
         rays carve appearance-init vehicle ghosts out of the static field;
         frame-0 car rays anchor the dynamic fields' canonical frame (frame-0
-        pose is identity by construction)."""
+        pose is identity by construction).
+
+        view_range=(lo, hi) restricts sampling to that half-open view subset
+        (the cross-view field/pose split, data/synthetic.sample_batch)."""
         V, F = self.images.shape[:2]
+        vlo, vhi = view_range or (0, V)
         if ghost_sample_ratio > 0 or frame0_sample_ratio > 0:
             mixed_frames = True
         if mixed_frames and frame is None:
             f = rng.integers(start_frame, current_frame, size=n_rand)
-            v = rng.integers(0, V, n_rand)
+            v = rng.integers(vlo, vhi, n_rand)
             if crop:
                 y0, y1, x0, x1 = self.cfg.crop_box
                 y = rng.integers(y0, min(y1, self.H), n_rand)
@@ -287,7 +293,7 @@ class CarlaScene:
             lo = 0
             n_car = int(n_rand * car_sample_ratio)
             if n_car > 0 and not crop and self.semantic is not None:
-                pool = self._car_pool(start_frame, current_frame)
+                pool = self._car_pool(start_frame, current_frame, view_range)
                 if len(pool):
                     picks = pool[rng.integers(0, len(pool), size=n_car)]
                     v[:n_car], f[:n_car], y[:n_car], x[:n_car] = picks.T
@@ -295,7 +301,7 @@ class CarlaScene:
             if self.semantic is not None and not crop:
                 n_ghost = int(n_rand * ghost_sample_ratio)
                 if n_ghost > 0 and current_frame - start_frame > 1:
-                    pool = self._car_pool(start_frame, current_frame)
+                    pool = self._car_pool(start_frame, current_frame, view_range)
                     if len(pool):
                         hi = min(lo + n_ghost, n_rand)
                         picks = pool[rng.integers(0, len(pool), size=hi - lo)]
@@ -308,7 +314,7 @@ class CarlaScene:
                         lo = hi
                 n_f0 = int(n_rand * frame0_sample_ratio)
                 if n_f0 > 0 and start_frame == 0:
-                    pool0 = self._car_pool(0, 1)
+                    pool0 = self._car_pool(0, 1, view_range)
                     if len(pool0):
                         hi = min(lo + n_f0, n_rand)
                         picks = pool0[rng.integers(0, len(pool0), size=hi - lo)]
@@ -328,21 +334,21 @@ class CarlaScene:
 
         if crop:
             y0, y1, x0, x1 = self.cfg.crop_box
-            v = rng.integers(0, V, n_rand)
+            v = rng.integers(vlo, vhi, n_rand)
             y = rng.integers(y0, min(y1, self.H), n_rand)
             x = rng.integers(x0, min(x1, self.W), n_rand)
         elif car_sample_ratio > 0 and self.semantic is not None:
             n_car = int(n_rand * car_sample_ratio)
-            car_mask = self.semantic[:, frame] == CAR_SEMANTIC_ID  # [V, H, W]
+            car_mask = self.semantic[vlo:vhi, frame] == CAR_SEMANTIC_ID
             car_idx = np.argwhere(car_mask)
             noncar_idx = np.argwhere(~car_mask)
             pick_car = car_idx[rng.integers(0, max(len(car_idx), 1), n_car)] if len(car_idx) else np.zeros((0, 3), int)
             pick_non = noncar_idx[rng.integers(0, len(noncar_idx), n_rand - len(pick_car))]
             picks = np.concatenate([pick_car, pick_non], axis=0)
             picks = picks[rng.permutation(len(picks))]
-            v, y, x = picks[:, 0], picks[:, 1], picks[:, 2]
+            v, y, x = picks[:, 0] + vlo, picks[:, 1], picks[:, 2]
         else:
-            v = rng.integers(0, V, n_rand)
+            v = rng.integers(vlo, vhi, n_rand)
             y = rng.integers(0, self.H, n_rand)
             x = rng.integers(0, self.W, n_rand)
 

@@ -299,17 +299,20 @@ class SyntheticAdapter:
         self.H, self.W = scene.H, scene.W
         self._car_pools = {}  # (start, end) -> [M, 4] (v, f, y, x) car pixels
 
-    def _car_pool(self, start: int, end: int) -> np.ndarray:
-        key = (start, end)
+    def _car_pool(self, start: int, end: int,
+                  view_range=None) -> np.ndarray:
+        vlo, vhi = view_range or (0, self.images.shape[0])
+        key = (start, end, vlo, vhi)
         if key not in self._car_pools:
-            m = self.data["dyn_masks"][:, start:end]  # [V, W, H, W]
+            m = self.data["dyn_masks"][vlo:vhi, start:end]  # [V', W, H, W]
             v, f, y, x = np.nonzero(m)
-            self._car_pools[key] = np.stack([v, f + start, y, x], axis=-1)
+            self._car_pools[key] = np.stack([v + vlo, f + start, y, x], axis=-1)
         return self._car_pools[key]
 
     def sample_batch(self, rng, n_rand, start_frame=0, current_frame=1, frame=None,
                      car_sample_ratio=0.0, mixed_frames=False,
-                     ghost_sample_ratio=0.0, frame0_sample_ratio=0.0, **_):
+                     ghost_sample_ratio=0.0, frame0_sample_ratio=0.0,
+                     view_range=None, **_):
         """Random ray minibatch.
 
         mixed_frames=True samples each ray's frame independently from the
@@ -323,32 +326,39 @@ class SyntheticAdapter:
         was/will be, which carves appearance-init vehicle ghosts out of the
         static field. frame0_sample_ratio pins rays to frame 0 (pose =
         identity by construction), anchoring the dynamic fields' canonical
-        frame without ground truth. Both force the mixed-frame layout."""
+        frame without ground truth. Both force the mixed-frame layout.
+
+        view_range=(lo, hi) restricts sampling to that half-open view subset
+        — the cross-view split that lets field and pose phases see disjoint
+        views (pose gradients on views the fields never trained on stay
+        informative at the joint photometric optimum)."""
         if ghost_sample_ratio > 0 or frame0_sample_ratio > 0:
             mixed_frames = True
         if not mixed_frames:
             if frame is None:
                 frame = int(rng.integers(start_frame, current_frame))
             return sample_ray_batch(
-                rng, self.data, n_rand, frame, car_sample_ratio=car_sample_ratio
+                rng, self.data, n_rand, frame,
+                car_sample_ratio=car_sample_ratio, view_range=view_range
             )
 
         V, F, H, W, _ = self.data["images"].shape
-        v = rng.integers(0, V, size=n_rand)
+        vlo, vhi = view_range or (0, V)
+        v = rng.integers(vlo, vhi, size=n_rand)
         f = rng.integers(start_frame, current_frame, size=n_rand)
         y = rng.integers(0, H, size=n_rand)
         x = rng.integers(0, W, size=n_rand)
         lo = 0
         n_car = int(n_rand * car_sample_ratio)
         if n_car > 0:
-            pool = self._car_pool(start_frame, current_frame)
+            pool = self._car_pool(start_frame, current_frame, view_range)
             if len(pool):
                 picks = pool[rng.integers(0, len(pool), size=n_car)]
                 v[lo:n_car], f[lo:n_car], y[lo:n_car], x[lo:n_car] = picks.T
                 lo = n_car
         n_ghost = int(n_rand * ghost_sample_ratio)
         if n_ghost > 0 and current_frame - start_frame > 1:
-            pool = self._car_pool(start_frame, current_frame)
+            pool = self._car_pool(start_frame, current_frame, view_range)
             if len(pool):
                 hi = min(lo + n_ghost, n_rand)
                 picks = pool[rng.integers(0, len(pool), size=hi - lo)]
@@ -365,7 +375,7 @@ class SyntheticAdapter:
             hi = min(lo + n_f0, n_rand)
             # anchor rays: frame-0 VEHICLE pixels (the identity pose only
             # constrains the dynamic field where the vehicle is visible)
-            pool0 = self._car_pool(0, 1)
+            pool0 = self._car_pool(0, 1, view_range)
             if len(pool0):
                 picks = pool0[rng.integers(0, len(pool0), size=hi - lo)]
                 v[lo:hi], f[lo:hi], y[lo:hi], x[lo:hi] = picks.T
@@ -398,21 +408,24 @@ class SyntheticAdapter:
         return np.asarray(noisy)
 
 
-def sample_ray_batch(rng, data, n_rand: int, frame: int, car_sample_ratio: float = 0.0):
+def sample_ray_batch(rng, data, n_rand: int, frame: int, car_sample_ratio: float = 0.0,
+                     view_range=None):
     """Random ray minibatch from one frame across all views (the reference's
     pseudo-epoch sampling, datasets/carla_star_app_init.py); a
     car_sample_ratio fraction of rays is drawn from vehicle pixels
-    (datasets/carla_star_online__.py:313-350)."""
+    (datasets/carla_star_online__.py:313-350). view_range=(lo, hi) restricts
+    to that view subset."""
     V, F, H, W, _ = data["images"].shape
-    v = rng.integers(0, V, size=n_rand)
+    vlo, vhi = view_range or (0, V)
+    v = rng.integers(vlo, vhi, size=n_rand)
     y = rng.integers(0, H, size=n_rand)
     x = rng.integers(0, W, size=n_rand)
     n_car = int(n_rand * car_sample_ratio)
     if n_car > 0:
-        cv, cy, cx = np.nonzero(data["dyn_masks"][:, frame])
+        cv, cy, cx = np.nonzero(data["dyn_masks"][vlo:vhi, frame])
         if len(cv):
             idx = rng.integers(0, len(cv), size=n_car)
-            v[:n_car], y[:n_car], x[:n_car] = cv[idx], cy[idx], cx[idx]
+            v[:n_car], y[:n_car], x[:n_car] = cv[idx] + vlo, cy[idx], cx[idx]
     return {
         "rays_o": data["rays_o"][v, y, x],
         "rays_d": data["rays_d"][v, y, x],

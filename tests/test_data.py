@@ -311,3 +311,30 @@ def test_synthetic_split_and_anchor_sampling():
     # anchor slots (after the car + ghost reserves) are pinned to frame 0
     assert (np.asarray(b["frame"][32:48]) == 0).all()
     assert len(np.unique(b["frame"])) > 1
+
+
+def test_view_range_restricts_sampling():
+    """view_range=(lo, hi) draws every ray (uniform, car, ghost, frame-0
+    anchor) from the view subset only — the cross-view field/pose split. A
+    pinhole view's rays all share one origin, so membership is checkable
+    against the per-view camera centers."""
+    from startrax.data.synthetic import SyntheticAdapter, SyntheticScene
+
+    scene = SyntheticScene(num_vehicles=1, num_frames=4, H=24, W=24,
+                           focal=24.0)
+    tr = SyntheticAdapter(scene, num_views=4, split="train")
+    eyes = tr.rays_o[:, 0, 0]  # [V, 3] camera centers
+    rng = np.random.default_rng(7)
+    for vr in ((0, 2), (3, 4)):
+        b = tr.sample_batch(rng, 128, start_frame=0, current_frame=4,
+                            car_sample_ratio=0.25, ghost_sample_ratio=0.25,
+                            frame0_sample_ratio=0.25, view_range=vr)
+        d = np.linalg.norm(b["rays_o"][:, None] - eyes[None], axis=-1)
+        views = np.argmin(d, axis=1)
+        assert views.min() >= vr[0] and views.max() < vr[1]
+        # non-mixed path too
+        b2 = tr.sample_batch(rng, 128, frame=1, car_sample_ratio=0.25,
+                             view_range=vr)
+        d2 = np.linalg.norm(b2["rays_o"][:, None] - eyes[None], axis=-1)
+        v2 = np.argmin(d2, axis=1)
+        assert v2.min() >= vr[0] and v2.max() < vr[1]
