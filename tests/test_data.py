@@ -338,3 +338,49 @@ def test_view_range_restricts_sampling():
         d2 = np.linalg.norm(b2["rays_o"][:, None] - eyes[None], axis=-1)
         v2 = np.argmin(d2, axis=1)
         assert v2.min() >= vr[0] and v2.max() < vr[1]
+
+
+def test_ue4_to_nerf_axis_semantics_golden():
+    """Convention goldens derived from the reference's UE4->NeRF conjugation
+    (utils/dataset.py:40-53), independent of the implementation: UE4 axes
+    (x fwd, y right, z up) must land on NeRF axes (x right, y up, -z fwd)."""
+    # points: each UE4 basis vector maps to its NeRF counterpart
+    assert np.allclose(transforms.from_ue4_to_nerf_pts(np.eye(3)),
+                       np.array([[0, 0, -1],   # UE4 fwd   -> NeRF -z (fwd)
+                                 [1, 0, 0],    # UE4 right -> NeRF +x (right)
+                                 [0, 1, 0]]))  # UE4 up    -> NeRF +y (up)
+    # a camera at UE4 position (10, 0, 2) looking along UE4 +x must become a
+    # NeRF camera at (0, 2, -10) with identity orientation change under
+    # conjugation: translation maps by the axis change, rotation by R' = M R M^T
+    pose = np.eye(4)
+    pose[:3, 3] = [10.0, 0.0, 2.0]
+    out = transforms.from_ue4_to_nerf(pose)
+    assert np.allclose(out[:3, 3], [0.0, 2.0, -10.0])
+    assert np.allclose(out[:3, :3], np.eye(3))
+    # UE4 yaw (rotation about UE4 up=z) must become a NeRF rotation about
+    # up=y with the SAME handedness: conjugation preserves rotation angle
+    th = 0.3
+    c, s = np.cos(th), np.sin(th)
+    yaw_ue4 = np.eye(4)
+    yaw_ue4[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+    out = transforms.from_ue4_to_nerf(yaw_ue4)
+    tr = np.trace(out[:3, :3])
+    assert np.isclose(tr, 1 + 2 * c, atol=1e-6)  # same rotation angle
+    # axis of rotation is NeRF y (up)
+    w, v = np.linalg.eig(out[:3, :3])
+    axis = np.real(v[:, np.argmin(np.abs(w - 1.0))])
+    assert np.allclose(np.abs(axis), [0, 1, 0], atol=1e-6)
+
+
+def test_carla_depth_decode_golden():
+    """24-bit RGB depth decode (reference carla_star_app_init.py:127-134):
+    meters = 1000 * (R + 256 G + 65536 B) / (256^3 - 1), hand-computed."""
+    from startrax.data.carla import _decode_carla_depth
+
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[0, 0] = (1, 2, 3)
+    img[0, 1] = (255, 255, 255)
+    d = _decode_carla_depth(img)
+    assert np.isclose(d[0, 0], 1000.0 * (1 + 2 * 256 + 3 * 65536) / (256 ** 3 - 1))
+    assert np.isclose(d[0, 1], 1000.0)
+    assert d[1, 1] == 0.0
