@@ -21,7 +21,12 @@ flags (see STATUS.md "Pose convergence work" and utils/config.py):
   fields-only to a loss plateau, then poses-only to a plateau, repeated
   (polish_mode = "alternate") — with ghost/frame-0 anchor sampling to pin
   the dynamic fields' canonical frame, and GT-free best-epoch selection on
-  held-out-view photometric error (selection = "photometric").
+  held-out-view photometric error (selection = "photometric"),
+- gauge correction (polish_mode = "gauge_align"): estimates the shared
+  per-vehicle canonical-frame drift against fresh frame-0-refit reference
+  fields and corrects all poses at once — the GT-free escape from the
+  alternation fixed point where the fields have absorbed the pose error
+  (see utils/config.py gauge_rounds and train/loop.make_gauge_train_step).
 
 Ray-axis data parallelism (data_parallel flag) shards every train batch and
 eval tile over the device mesh — the reference is strictly single-GPU
@@ -42,8 +47,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from ..data.prefetch import BatchPrefetcher
+from ..ops import lie
 from ..eval import pose as pose_mod
 from ..eval.image import psnr as psnr_fn, ssim as ssim_fn
 from ..eval.render import render_image
@@ -193,7 +200,8 @@ def train(cfg: Config):
     # needs the fields-only optimizer too
     need_field_tx = (cfg.pose_delay_epochs > 0
                      or (cfg.polish_epochs > 0
-                         and cfg.polish_mode in ("alternate", "refit_anchor")))
+                         and cfg.polish_mode in ("alternate", "refit_anchor",
+                                                 "gauge_align")))
     opt_state_field = None
     if need_field_tx:
         tx_field = optim.make_fused_star_optimizer(
@@ -228,21 +236,32 @@ def train(cfg: Config):
         step_fn_polish = loop.make_online_train_step(
             star_cfg, loss_cfg, tx_polish, trans_only=cfg.pose_trans_only)
 
-    # refit_anchor: dynamic-fields-only optimizer for the frame-0 re-fit
-    # (static and poses pinned; fresh moments at stage entry)
+    # refit_anchor / gauge_align: dynamic-fields-only optimizer for the
+    # frame-0 (re-)fit (static and poses pinned; fresh moments at stage entry)
     tx_refit = None
-    if (cfg.polish_epochs > 0 and cfg.polish_mode == "refit_anchor"
+    if (cfg.polish_epochs > 0
+            and cfg.polish_mode in ("refit_anchor", "gauge_align")
             and not cfg.load_gt_poses):
         tx_refit = optim.make_fused_star_optimizer(
             params, lrate_static=0.0, lrate_dynamic=cfg.lrate_dynamic,
             lrate_pose=0.0, **nerf_decay, **opt_kw)
         step_fn_refit = loop.make_online_train_step(star_cfg, loss_cfg, tx_refit)
+    if cfg.polish_epochs > 0 and cfg.polish_mode == "refit_anchor" \
+            and not cfg.load_gt_poses:
         step_fn_refit_pose = (
             loop.make_online_train_step(
                 star_cfg, loss_cfg, tx_polish,
                 trans_only=cfg.pose_trans_only,
                 freeze_rot=cfg.refit_pose_freeze_rot and not cfg.pose_trans_only)
             if cfg.refit_pose_freeze_rot else step_fn_polish)
+
+    # gauge_align: plain Adam over the shared [K, 7] gauge; the jitted step
+    # renders the scratch reference fields with pose = G ∘ p_f
+    gauge_step_fn = None
+    if (cfg.polish_epochs > 0 and cfg.polish_mode == "gauge_align"
+            and not cfg.load_gt_poses):
+        tx_gauge = optax.adam(cfg.lrate_pose)
+        gauge_step_fn = loop.make_gauge_train_step(star_cfg, tx_gauge)
 
     cur_cfg = CurriculumConfig(
         num_frames=cfg.num_frames,
@@ -298,12 +317,13 @@ def train(cfg: Config):
                     "end": min(cur.current_frame, cfg.num_frames),
                     "car": cfg.car_sample_ratio, "crop": False,
                     "ghost": cfg.ghost_sample_ratio,
-                    "f0": cfg.frame0_sample_ratio}
+                    "f0": cfg.frame0_sample_ratio,
+                    "mixed": cfg.mixed_frames}
     prefetcher = BatchPrefetcher(
         lambda r, st: train_data.sample_batch(
             r, n_rand, start_frame=st["start"], current_frame=st["end"],
             car_sample_ratio=st["car"], crop=st["crop"],
-            mixed_frames=cfg.mixed_frames,
+            mixed_frames=st["mixed"],
             ghost_sample_ratio=st["ghost"], frame0_sample_ratio=st["f0"]),
         sample_state, seed=cfg.seed * 7919 + 1, depth=6,
         workers=max(cfg.num_workers, 1))
@@ -321,20 +341,28 @@ def train(cfg: Config):
     # refit_anchor sub-state: field (frame-0 dynamic re-fit) -> pose ->
     # alternate for the remainder
     refit = {"stage": "field", "used": 0}
+    # gauge_align sub-state: ref_field (fresh reference dynamics on a scratch
+    # params copy) -> gauge (shared SE(3) fit) -> alternate re-convergence;
+    # re-enters ref_field after each completed alternate round while rounds
+    # remain. Like refit's, this sub-state restarts on resume.
+    ga = {"stage": "ref_field", "used": 0, "rounds": 0,
+          "ref_params": None, "opt": None, "gauge": None, "gauge_opt": None}
     polish_used = 0
     step = 0
     stop_reason = ""
 
-    def run_phase_epoch(fn, opt_st, epoch, car, ghost, f0, window=None):
+    def run_phase_epoch(fn, opt_st, epoch, car, ghost, f0, window=None,
+                        params_arg=None, mixed=None):
         nonlocal key, step
         start, end = (window if window is not None
                       else (cur.start_frame,
                             min(cur.current_frame, cfg.num_frames)))
         sample_state.update(
             start=start, end=end,
-            crop=epoch < cfg.precrop_iters, car=car, ghost=ghost, f0=f0)
+            crop=epoch < cfg.precrop_iters, car=car, ghost=ghost, f0=f0,
+            mixed=cfg.mixed_frames if mixed is None else mixed)
         fines = []
-        p = params
+        p = params if params_arg is None else params_arg
         for _ in range(cfg.steps_per_epoch):
             batch = _place_batch(next(prefetcher), mesh)
             key, sub = jax.random.split(key)
@@ -343,6 +371,25 @@ def train(cfg: Config):
             step += 1
             fines.append(metrics["fine_loss"])  # device scalar, no sync
         return p, opt_st, float(np.mean(np.asarray(jnp.stack(fines))))
+
+    def run_gauge_epoch(epoch):
+        """One epoch of shared-gauge fitting against the scratch reference
+        fields: frames 1..F-1, per-ray mixed frames (every frame contributes
+        to the single shared G each step), production poses frozen."""
+        nonlocal key, step
+        sample_state.update(
+            start=1, end=cfg.num_frames, crop=False,
+            car=car_pose, ghost=0.0, f0=0.0, mixed=True)
+        losses = []
+        for _ in range(cfg.steps_per_epoch):
+            batch = _place_batch(next(prefetcher), mesh)
+            key, sub = jax.random.split(key)
+            ga["gauge"], ga["gauge_opt"], lossv = gauge_step_fn(
+                ga["gauge"], ga["gauge_opt"], ga["ref_params"]["nerf"],
+                params["poses"], batch, sub)
+            step += 1
+            losses.append(lossv)
+        return float(np.mean(np.asarray(jnp.stack(losses))))
 
     try:
         for epoch in range(start_epoch, cfg.epochs_online):
@@ -378,7 +425,63 @@ def train(cfg: Config):
                 mode = cfg.polish_mode
                 if mode == "refit_anchor":
                     mode = "alternate" if refit["stage"] == "alternate" else mode
-                if mode == "refit_anchor" and refit["stage"] == "field":
+                if mode == "gauge_align" and ga["stage"] == "alternate":
+                    mode = "alternate"
+                if mode == "gauge_align" and ga["stage"] == "ref_field":
+                    if ga["used"] == 0:
+                        # scratch copy: original fields untouched; fresh
+                        # dynamic fields fit from frame-0 rays carry zero
+                        # canonical-frame drift by construction
+                        from ..models.fields import init_stacked_fields
+                        key, kc, kf = jax.random.split(key, 3)
+                        ref_nerf = dict(params["nerf"])
+                        ref_nerf["dynamic_coarse"] = init_stacked_fields(
+                            kc, star_cfg.dynamic_field(), star_cfg.num_vehicles)
+                        if "dynamic_fine" in ref_nerf:
+                            ref_nerf["dynamic_fine"] = init_stacked_fields(
+                                kf, star_cfg.dynamic_field(fine=True),
+                                star_cfg.num_vehicles)
+                        ga["ref_params"] = {"nerf": ref_nerf,
+                                            "poses": params["poses"]}
+                        if mesh is not None:
+                            ga["ref_params"] = meshlib.replicate_params(
+                                ga["ref_params"], mesh)
+                        ga["opt"] = tx_refit.init(ga["ref_params"])
+                        ws.log("gauge_align: fitting frame-0 reference fields "
+                               f"(round {ga['rounds']})")
+                    phase = "gauge_ref"
+                    ga["ref_params"], ga["opt"], avg = run_phase_epoch(
+                        step_fn_refit, ga["opt"], epoch, car_pose, 0.0, 0.0,
+                        window=(0, 1), params_arg=ga["ref_params"],
+                        mixed=True)
+                    ga["used"] += 1
+                    if ga["used"] >= cfg.refit_epochs:
+                        ga.update(stage="gauge", used=0,
+                                  gauge=jnp.asarray(lie.se3_identity(
+                                      star_cfg.num_vehicles)))
+                        ga["gauge_opt"] = tx_gauge.init(ga["gauge"])
+                elif mode == "gauge_align":  # ga["stage"] == "gauge"
+                    phase = "gauge_fit"
+                    avg = run_gauge_epoch(epoch)
+                    ga["used"] += 1
+                    if ga["used"] >= cfg.gauge_epochs:
+                        G = np.asarray(ga["gauge"])
+                        corrected = lie.se3_multiply(
+                            jnp.asarray(G)[None],
+                            jnp.asarray(params["poses"]))
+                        params = dict(params, poses=corrected)
+                        if mesh is not None:
+                            params = meshlib.replicate_params(params, mesh)
+                        # the pose jump invalidates accumulated moments
+                        opt_state_field = tx_field.init(params)
+                        opt_state_polish = tx_polish.init(params)
+                        ga.update(stage="alternate", used=0,
+                                  rounds=ga["rounds"] + 1,
+                                  ref_params=None, opt=None)
+                        alt_phase, alt_losses = "field", []
+                        ws.log(f"gauge_align: applied gauge t={G[:, :3].tolist()}"
+                               " -> alternate re-convergence")
+                elif mode == "refit_anchor" and refit["stage"] == "field":
                     if refit["used"] == 0:
                         # re-anchor: FRESH canonical dynamic fields, fit from
                         # frame-0 rays only (identity pose, exact by
@@ -444,6 +547,12 @@ def train(cfg: Config):
                                                  cfg.alt_plateau_tol)):
                             alt_phase, alt_losses = "field", []
                             alt_rounds += 1
+                            if (cfg.polish_mode == "gauge_align"
+                                    and ga["rounds"] < cfg.gauge_rounds):
+                                # another gauge round: the re-converged
+                                # fields/poses define a new fixed point whose
+                                # residual drift the next gauge fit measures
+                                ga.update(stage="ref_field", used=0)
                 else:  # interleave (round-2 recipe)
                     joint = (polish_used % max(cfg.polish_joint_every, 1)) == 0
                     if joint:

@@ -184,6 +184,45 @@ def make_online_train_step(
     return train_step
 
 
+def make_gauge_train_step(star_cfg: StarConfig, tx):
+    """Shared per-vehicle SE(3) gauge fit (polish_mode = "gauge_align").
+
+    At the alternation fixed point the pose residual is dominated by a
+    per-vehicle CONSTANT canonical-frame drift (artifacts/crossview_diag.json:
+    delta spread ~0.003 vs magnitude 0.05-0.09) that the trained fields have
+    absorbed, so no descent against them can see it. It becomes observable
+    against REFERENCE fields fit from frame-0 rays only (identity pose, exact
+    by construction): fit one gauge G [K, 7] with warped pose G ∘ p_f over all
+    later frames at once — sharing G across frames (6 DOF per vehicle) keeps
+    the one-time-instant reference field's rotation under-constraint from
+    leaking into per-frame estimates (the refit_anchor failure mode).
+
+    Returns jittable (gauge, opt_state, nerf, poses, batch, key) -> updated;
+    nerf (the reference fields) and poses stay frozen inputs."""
+
+    def loss_fn(gauge, nerf, poses, batch, key):
+        pose_f = gather_frame_pose(poses, batch["frame"], star_cfg.num_vehicles)
+        pose_c = lie.se3_multiply(jnp.broadcast_to(gauge, pose_f.shape), pose_f)
+        result = render_star(
+            nerf, star_cfg, batch["rays_o"], batch["rays_d"],
+            key=key, pose=pose_c, train=True,
+        )
+        loss = img2mse(result["rgb0"], batch["target"])
+        if star_cfg.n_importance > 0:
+            loss = loss + img2mse(result["rgb"], batch["target"])
+        return loss
+
+    @jax.jit
+    def gauge_step(gauge, opt_state, nerf, poses, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(gauge, nerf, poses, batch, key)
+        updates, opt_state = tx.update(grads, opt_state, gauge)
+        gauge = optax.apply_updates(gauge, updates)
+        gauge = gauge.at[..., 3:7].set(lie.quat_normalize(gauge[..., 3:7]))
+        return gauge, opt_state, loss
+
+    return gauge_step
+
+
 def make_appinit_train_step(star_cfg: StarConfig, loss_cfg: LossConfig, tx):
     """Appearance-init step: static field only, MSE (+depth/sigma) loss
     (reference train_app_init__.py:70-115)."""

@@ -295,6 +295,44 @@ def test_online_refit_anchor_polish(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 
 
+def test_online_gauge_align_polish(tmp_path):
+    """polish_mode=gauge_align: fresh frame-0 reference fields fit on a
+    scratch copy (production fields untouched), a shared per-vehicle SE(3)
+    gauge fit against them, pose correction, then alternate re-convergence —
+    re-entering the gauge stage once per configured round. The GT-free
+    correction of the constant canonical-frame drift that dominates the
+    alternation fixed point (artifacts/crossview_diag.json)."""
+    import numpy as np
+    from startrax.apps import online
+
+    cfg = _tiny_synthetic_cfg(
+        tmp_path, epochs_online=12, online_thres=1e9,
+        online_thres_tightened=1e9, initial_num_frames=5,
+        noisy_pose_init=True, steps_per_epoch=4,
+        epochs_between_frames=0,
+        polish_epochs=7, polish_mode="gauge_align",
+        refit_epochs=1, gauge_epochs=1, gauge_rounds=2,
+        alt_field_epochs=1, alt_pose_epochs=1,
+        alt_plateau_window=100,  # phase lengths drive the transitions
+        selection="photometric", selection_patience=0,
+    )
+    params = online.train(cfg)
+    run_dir = tmp_path / "smoke" / "online"
+    history = json.loads((run_dir / "history.json").read_text())
+    phases = [h["phase"] for h in history]
+    for expected in ("gauge_ref", "gauge_fit", "polish_field", "polish_pose"):
+        assert expected in phases, (expected, phases)
+    assert phases.index("gauge_ref") < phases.index("gauge_fit")
+    assert phases.index("gauge_fit") < phases.index("polish_field")
+    assert phases.index("polish_field") < phases.index("polish_pose")
+    # second gauge round re-enters after the first alternate round completes
+    assert phases.count("gauge_ref") == 2 and phases.count("gauge_fit") == 2
+    assert phases.index("polish_pose") < len(phases) - 1 - phases[::-1].index(
+        "gauge_ref")
+    q = np.asarray(params["poses"][..., 3:7])
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
+
+
 def test_online_app_sharded_matches_unsharded(tmp_path):
     """The app's OWN epoch path trains ray-sharded over the virtual-device
     mesh (data_parallel=on) and matches the unsharded run (round-2 VERDICT
