@@ -48,6 +48,12 @@ DEFAULT_TILE = 1024
 # its VMEM ceiling, not launch overhead, binds the tile. Env-overridable for
 # measurement (STARTRAX_BWD_TILE=2048 python bench.py).
 DEFAULT_BWD_TILE = int(__import__("os").environ.get("STARTRAX_BWD_TILE", "1024"))
+# Saved-activation backward: the forward kernel also streams its bf16
+# layer activations to HBM and the backward reads them instead of
+# recomputing the forward chain (~1/3 of the backward FLOPs) — trading
+# ~2x activation HBM traffic for the recompute. Env-gated for measurement;
+# see BENCH_NOTES.md round-3 findings for the verdict.
+DEFAULT_SAVED_ACTS = __import__("os").environ.get("STARTRAX_SAVED_ACTS", "0") == "1"
 
 
 def _is_tpu() -> bool:
@@ -208,16 +214,49 @@ def _forward_math(x_emb, d_emb, weights, n_blocks: int, save_acts: bool = False)
     return alpha, rgb
 
 
-def _fwd_kernel(n_blocks, pe, x_ref, d_ref, *wrefs_and_out):
-    wrefs = wrefs_and_out[:-1]
-    out_ref = wrefs_and_out[-1]
+def _acts_flat(acts, n_blocks: int):
+    """acts dict -> flat tuple in the kernel save/restore order."""
+    flat = []
+    for i in range(n_blocks):
+        flat += list(acts[f"blk{i}"])
+    flat += [acts["h_last"], acts["ho"], acts["feat"], acts["hv_in"]]
+    return tuple(flat)
+
+
+def _acts_unflat(flat, n_blocks: int):
+    it = iter(flat)
+    acts = {f"blk{i}": (next(it), next(it)) for i in range(n_blocks)}
+    acts["h_last"], acts["ho"] = next(it), next(it)
+    acts["feat"], acts["hv_in"] = next(it), next(it)
+    return acts
+
+
+def _act_shapes(n_blocks: int, width: int, n_rows: int):
+    """Shapes of the saved activations, in _acts_flat order."""
+    shapes = [(n_rows, width)] * (2 * n_blocks)  # per-block (h, n)
+    shapes += [(n_rows, width)] * 3              # h_last, ho, feat
+    shapes += [(n_rows, width // 2)]             # hv_in
+    return shapes
+
+
+def _fwd_kernel(n_blocks, pe, save, x_ref, d_ref, *wrefs_and_out):
+    n_w = 2 + 4 * n_blocks + 10
+    wrefs = wrefs_and_out[:n_w]
+    out_ref = wrefs_and_out[n_w]
+    act_refs = wrefs_and_out[n_w + 1 :]
     weights = tuple(w[...] for w in wrefs)
     x_emb = x_ref[...]
     d_emb = d_ref[...]
     if pe is not None:
         x_emb = _pe_encode128(x_emb, pe[0])
         d_emb = _pe_encode128(d_emb, pe[1])
-    alpha, rgb = _forward_math(x_emb, d_emb, weights, n_blocks)
+    if save:
+        alpha, rgb, acts = _forward_math(x_emb, d_emb, weights, n_blocks,
+                                         save_acts=True)
+        for ref, val in zip(act_refs, _acts_flat(acts, n_blocks)):
+            ref[...] = val
+    else:
+        alpha, rgb = _forward_math(x_emb, d_emb, weights, n_blocks)
     out_ref[...] = jnp.concatenate([alpha, rgb], axis=-1)  # [T, 4]
 
 
@@ -226,14 +265,16 @@ def _gt0(x):
     return x.astype(jnp.float32) > 0.0
 
 
-def _bwd_kernel(n_blocks, pe, x_ref, d_ref, *rest):
-    """rest = (*wrefs, g_ref, dx_ref, dd_ref, *dwrefs)."""
+def _bwd_kernel(n_blocks, pe, saved, x_ref, d_ref, *rest):
+    """rest = (*wrefs, g_ref, [*act_refs,] dx_ref, dd_ref, *dwrefs)."""
     n_w = 2 + 4 * n_blocks + 10
+    n_acts = (2 * n_blocks + 4) if saved else 0
     wrefs = rest[:n_w]
     g_ref = rest[n_w]
-    dx_ref = rest[n_w + 1]
-    dd_ref = rest[n_w + 2]
-    dwrefs = rest[n_w + 3 :]
+    act_refs = rest[n_w + 1 : n_w + 1 + n_acts]
+    dx_ref = rest[n_w + 1 + n_acts]
+    dd_ref = rest[n_w + 2 + n_acts]
+    dwrefs = rest[n_w + 3 + n_acts :]
 
     step = pl.program_id(0)
 
@@ -250,7 +291,11 @@ def _bwd_kernel(n_blocks, pe, x_ref, d_ref, *rest):
         d_emb = _pe_encode128(d_in, pe[1])
     else:
         x_emb, d_emb = x_in, d_in
-    alpha, rgb, acts = _forward_math(x_emb, d_emb, weights, n_blocks, save_acts=True)
+    if saved:
+        acts = _acts_unflat(tuple(a[...] for a in act_refs), n_blocks)
+    else:
+        alpha, rgb, acts = _forward_math(x_emb, d_emb, weights, n_blocks,
+                                         save_acts=True)
 
     it = iter(weights)
     W_in, b_in = next(it), next(it)
@@ -338,8 +383,9 @@ def _pad_to(x, n_target):
     return jnp.concatenate([x, pad], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, x_emb, d_emb, *weights):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, saved,
+                      x_emb, d_emb, *weights):
     return _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights)
 
 
@@ -382,7 +428,8 @@ def _cast_weights(weights):
     return tuple(w.astype(jnp.bfloat16) if w.ndim == 2 else w for w in weights)
 
 
-def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights):
+def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
+                    save_acts: bool = False):
     n = x_emb.shape[0]
     n_pad = pl.cdiv(n, tile) * tile
     xp = _pad_to(x_emb, n_pad)
@@ -396,30 +443,46 @@ def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights):
         pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd))
         for w in wk
     ]
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_blocks, pe),
-        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+    out_shapes = [jax.ShapeDtypeStruct((n_pad, 4), jnp.float32)]
+    out_specs = [pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    if save_acts:
+        width = weights[0].shape[1]
+        for shp in _act_shapes(n_blocks, width, n_pad):
+            out_shapes.append(jax.ShapeDtypeStruct(shp, jnp.bfloat16))
+            out_specs.append(pl.BlockSpec(
+                (tile, shp[1]), lambda i: (i, 0), memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, n_blocks, pe, save_acts),
+        out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *w_specs,
         ],
-        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, dp, *wk)
-    return out[:n]
+    if save_acts:
+        return outs[0][:n], outs[1:]  # acts stay padded for the bwd call
+    return outs[0][:n]
 
 
-def _fused_fwd_rule(n_blocks, tile, bwd_tile, interpret, pe, x_emb, d_emb, *weights):
+def _fused_fwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved,
+                    x_emb, d_emb, *weights):
+    if saved:
+        out, acts = _fused_fwd_call(n_blocks, tile, interpret, pe,
+                                    x_emb, d_emb, weights, save_acts=True)
+        return out, (x_emb, d_emb, weights, acts)
     out = _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights)
-    return out, (x_emb, d_emb, weights)
+    return out, (x_emb, d_emb, weights, None)
 
 
-def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, residuals, g):
-    x_emb, d_emb, weights = residuals
-    tile = bwd_tile or tile
+def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, residuals, g):
+    x_emb, d_emb, weights, acts = residuals
+    # saved acts are tiled by the forward tile; the backward must match it
+    tile = tile if saved else (bwd_tile or tile)
     n = x_emb.shape[0]
     n_pad = pl.cdiv(n, tile) * tile
     xp = _pad_to(x_emb, n_pad)
@@ -439,9 +502,17 @@ def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, residuals, g):
         pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd), memory_space=pltpu.VMEM)
         for w in wk
     ]
+    act_args, act_specs = (), []
+    if saved:
+        act_args = tuple(acts)
+        act_specs = [
+            pl.BlockSpec((tile, a.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for a in acts
+        ]
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_blocks, pe),
+        functools.partial(_bwd_kernel, n_blocks, pe, saved),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, x_emb.shape[1]), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, d_emb.shape[1]), jnp.float32),
@@ -453,6 +524,7 @@ def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, residuals, g):
             pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *w_specs,
             pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *act_specs,
         ],
         out_specs=(
             pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -461,7 +533,7 @@ def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, residuals, g):
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xp, dp, *wk, gp)
+    )(xp, dp, *wk, gp, *act_args)
 
     dx = outs[0][:n]
     dd = outs[1][:n]
@@ -483,19 +555,27 @@ def fused_field_apply(
     interpret: bool | None = None,
     pe=None,
     bwd_tile: int | None = None,
+    saved_acts: bool | None = None,
 ):
     """Fused MLP: encoded points [N, in_ch] + encoded dirs [N, view_ch] ->
     (raw_alpha [N], raw_rgb [N, 3]). Differentiable (custom VJP).
 
     With pe=(multires, multires_views), x_emb/d_emb are RAW [N, 3] points and
     directions and the positional encoding (and its backward) runs inside the
-    kernel — no [N, 90] encode arrays in HBM."""
+    kernel — no [N, 90] encode arrays in HBM.
+
+    saved_acts=True streams the forward's bf16 activations to HBM and the
+    backward consumes them instead of recomputing the chain (forces the
+    backward tile to the forward tile)."""
     if interpret is None:
         interpret = not _is_tpu()
     if bwd_tile is None:
         bwd_tile = DEFAULT_BWD_TILE
+    if saved_acts is None:
+        saved_acts = DEFAULT_SAVED_ACTS
     flat = flatten_params(params, n_blocks)
-    out = _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, x_emb, d_emb, *flat)
+    out = _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, saved_acts,
+                            x_emb, d_emb, *flat)
     return out[:, 0], out[:, 1:4]
 
 

@@ -96,6 +96,53 @@ def test_fused_bwd_tile_decoupled_from_fwd_tile():
         )
 
 
+def test_fused_saved_acts_matches_recompute():
+    """saved_acts=True streams forward activations to HBM for the backward
+    instead of recomputing; both modes must produce the same value and the
+    same gradients (the saves are the same bf16 casts the recompute makes)."""
+    params, pts, dirs, emb, emb_d = _setup(seed=7, n_rays=4, n_samples=24)
+
+    def loss(p, e, saved):
+        a, r = fused_field_apply(
+            p, e, emb_d, CFG.n_blocks, tile=32, interpret=True,
+            saved_acts=saved,
+        )
+        return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+    v0 = float(loss(params, emb, False))
+    v1 = float(loss(params, emb, True))
+    np.testing.assert_allclose(v1, v0, rtol=1e-6)
+
+    g0, ge0 = jax.grad(loss, argnums=(0, 1))(params, emb, False)
+    g1, ge1 = jax.grad(loss, argnums=(0, 1))(params, emb, True)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5
+        )
+    np.testing.assert_allclose(np.asarray(ge1), np.asarray(ge0), atol=1e-5)
+
+    # same parity through the in-kernel PE mode (raw [N, 3] inputs)
+    x = pts.reshape(-1, 3)
+    d = jnp.broadcast_to(dirs[:, None, :], pts.shape).reshape(-1, 3)
+
+    def loss_pe(p, xx, saved):
+        a, r = fused_field_apply(
+            p, xx, d, CFG.n_blocks, tile=32, interpret=True,
+            pe=(CFG.multires, CFG.multires_views), saved_acts=saved,
+        )
+        return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+    gp0, gx0 = jax.grad(loss_pe, argnums=(0, 1))(params, x, False)
+    gp1, gx1 = jax.grad(loss_pe, argnums=(0, 1))(params, x, True)
+    for a, b in zip(jax.tree.leaves(gp1), jax.tree.leaves(gp0)):
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5
+        )
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0), atol=1e-5)
+
+
 def test_fused_input_grads_flow():
     """d loss / d encoded inputs must be nonzero and close to XLA — this is
     the path pose gradients take."""
