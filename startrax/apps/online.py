@@ -106,6 +106,20 @@ def _place_batch(batch, mesh):
     return meshlib.shard_batch(batch, mesh)
 
 
+# polish sub-state <-> checkpoint encoding (phases as ints; orbax pytrees
+# carry no strings)
+_ALT_PHASES = ("field", "pose")
+_REFIT_STAGES = ("field", "pose", "alternate")
+_GA_STAGES = ("ref_field", "gauge", "alternate")
+
+
+def _polish_template():
+    return {"polish_used": 0, "alt_phase": 0, "alt_rounds": 0,
+            "refit_stage": 0, "refit_used": 0,
+            "ga_stage": 0, "ga_used": 0, "ga_rounds": 0,
+            "best_score": 0.0, "best_epoch": -1}
+
+
 def _loss_plateau(losses, window: int, tol: float) -> bool:
     """True when the mean loss of the last `window` epochs improved less than
     tol (relative) over the window before it."""
@@ -273,6 +287,7 @@ def train(cfg: Config):
     cur = CurriculumState.initial(cur_cfg)
 
     start_epoch = 0
+    resume_polish = None
     if cfg.online_ckpt_path:
         template = {
             "params": params, "opt_state": opt_state,
@@ -284,12 +299,15 @@ def train(cfg: Config):
                             ("opt_state_field", opt_state_field)):
             if state is not None and name in saved_keys:
                 template[name] = state
+        if "polish" in saved_keys:
+            template["polish"] = _polish_template()
         restored = ckpt.restore_checkpoint(cfg.online_ckpt_path, template)
         params, opt_state = restored["params"], restored["opt_state"]
         opt_state_pose = restored.get("opt_state_pose", opt_state_pose)
         opt_state_polish = restored.get("opt_state_polish", opt_state_polish)
         opt_state_field = restored.get("opt_state_field", opt_state_field)
         cur = ckpt.curriculum_from_dict(restored["curriculum"])
+        resume_polish = restored.get("polish")
         if mesh is not None:
             # restored leaves may land on one device; train batches are
             # mesh-sharded
@@ -335,6 +353,7 @@ def train(cfg: Config):
     sel_enabled = cfg.selection != "none" and (cfg.selection != "gt_pose" or has_gt)
     best = {"score": float("inf"), "epoch": -1, "params": None,
             "trans": None, "rot": None}
+    best_saved = -1
     history = []
     # alternation sub-state (polish_mode = "alternate")
     alt_phase, alt_losses, alt_rounds = "field", [], 0
@@ -350,6 +369,45 @@ def train(cfg: Config):
     polish_used = 0
     step = 0
     stop_reason = ""
+
+    if resume_polish is not None:
+        pd = jax.tree.map(lambda x: x.item() if hasattr(x, "item") else x,
+                          resume_polish)
+        polish_used = int(pd["polish_used"])
+        alt_phase = _ALT_PHASES[int(pd["alt_phase"])]
+        alt_rounds = int(pd["alt_rounds"])
+        refit = {"stage": _REFIT_STAGES[int(pd["refit_stage"])],
+                 "used": int(pd["refit_used"])}
+        ga.update(stage=_GA_STAGES[int(pd["ga_stage"])],
+                  used=int(pd["ga_used"]), rounds=int(pd["ga_rounds"]))
+        # the gauge round's scratch reference fields / gauge optimizer are
+        # not checkpointed — restart an interrupted round from its ref fit
+        if ga["stage"] in ("ref_field", "gauge"):
+            ga.update(stage="ref_field", used=0)
+        if int(pd["best_epoch"]) >= 0:
+            best.update(score=float(pd["best_score"]),
+                        epoch=int(pd["best_epoch"]))
+            try:
+                b = ckpt.restore_checkpoint(cfg.online_ckpt_path + "_best",
+                                            {"params": params})
+                best["params"] = jax.tree.map(np.asarray, b["params"])
+                ws.log(f"restored best-epoch snapshot (epoch {best['epoch']}, "
+                       f"score {best['score']:.3e})")
+            except (FileNotFoundError, ValueError):
+                best.update(score=float("inf"), epoch=-1)
+        ws.log(f"resumed polish sub-state: used={polish_used} "
+               f"alt={alt_phase}/{alt_rounds} ga={ga['stage']}/{ga['rounds']}")
+
+    def _polish_state():
+        return {"polish_used": polish_used,
+                "alt_phase": _ALT_PHASES.index(alt_phase),
+                "alt_rounds": alt_rounds,
+                "refit_stage": _REFIT_STAGES.index(refit["stage"]),
+                "refit_used": refit["used"],
+                "ga_stage": _GA_STAGES.index(ga["stage"]),
+                "ga_used": ga["used"], "ga_rounds": ga["rounds"],
+                "best_score": (best["score"] if best["epoch"] >= 0 else 0.0),
+                "best_epoch": best["epoch"]}
 
     def run_phase_epoch(fn, opt_st, epoch, car, ghost, f0, window=None,
                         params_arg=None, mixed=None):
@@ -642,13 +700,18 @@ def train(cfg: Config):
                           cur, step, mesh=mesh)
                 state = {"params": params, "opt_state": opt_state,
                          "curriculum": ckpt.curriculum_to_dict(cur),
-                         "epoch": epoch}
+                         "epoch": epoch, "polish": _polish_state()}
                 for name, st in (("opt_state_pose", opt_state_pose),
                                  ("opt_state_polish", opt_state_polish),
                                  ("opt_state_field", opt_state_field)):
                     if st is not None:
                         state[name] = st
                 ckpt.save_checkpoint(ws.ckpt_dir, state, step=epoch)
+                if best["params"] is not None and best["epoch"] > best_saved:
+                    ckpt.save_checkpoint(ws.ckpt_dir + "_best",
+                                         {"params": best["params"]},
+                                         step=best["epoch"])
+                    best_saved = best["epoch"]
                 with open(os.path.join(ws.run_dir, "history.json"), "w") as f:
                     json.dump(history, f)
 
@@ -686,7 +749,7 @@ def train(cfg: Config):
 
     state = {"params": params, "opt_state": opt_state,
              "curriculum": ckpt.curriculum_to_dict(cur),
-             "epoch": cfg.epochs_online}
+             "epoch": cfg.epochs_online, "polish": _polish_state()}
     for name, st in (("opt_state_pose", opt_state_pose),
                      ("opt_state_polish", opt_state_polish),
                      ("opt_state_field", opt_state_field)):

@@ -333,6 +333,42 @@ def test_online_gauge_align_polish(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 
 
+def test_online_polish_substate_resumes(tmp_path):
+    """The polish sub-state (alternation phase, rounds used, best-epoch
+    snapshot) is checkpointed: a resumed run continues mid-polish instead of
+    restarting the machinery, and the best snapshot survives the restart."""
+    import numpy as np
+    from startrax.apps import online
+
+    kw = dict(
+        epochs_online=6, online_thres=1e9, online_thres_tightened=1e9,
+        initial_num_frames=5, noisy_pose_init=True, steps_per_epoch=4,
+        epochs_between_frames=0, polish_epochs=50, polish_mode="alternate",
+        alt_field_epochs=2, alt_pose_epochs=2, alt_plateau_window=100,
+        selection="photometric", selection_patience=0, epoch_val=2,
+    )
+    cfg = _tiny_synthetic_cfg(tmp_path, **kw)
+    online.train(cfg)
+    run_dir = tmp_path / "smoke" / "online"
+    h1 = json.loads((run_dir / "history.json").read_text())
+    # the run ended mid-polish with a best-epoch snapshot on disk
+    assert any(p["phase"].startswith("polish") for p in h1)
+    assert (run_dir / "ckpts_best").exists()
+
+    cfg2 = _tiny_synthetic_cfg(
+        tmp_path, online_ckpt_path=str(run_dir / "ckpts"),
+        **{**kw, "epochs_online": 10})
+    online.train(cfg2)
+    log = (run_dir / "run.log").read_text()
+    assert "resumed polish sub-state" in log
+    assert "restored best-epoch snapshot" in log
+    h2 = json.loads((run_dir / "history.json").read_text())
+    # resumed epochs continue the alternation (phase sequence advances from
+    # the saved sub-state rather than restarting at epoch 0 of the machinery)
+    resumed = [p for p in h2 if p["epoch"] >= 6]
+    assert resumed and all(p["phase"].startswith("polish") for p in resumed)
+
+
 def test_online_app_sharded_matches_unsharded(tmp_path):
     """The app's OWN epoch path trains ray-sharded over the virtual-device
     mesh (data_parallel=on) and matches the unsharded run (round-2 VERDICT
