@@ -131,14 +131,15 @@ def _loss_plateau(losses, window: int, tol: float) -> bool:
 
 
 def selection_score(cfg: Config, star_cfg, params, val_data, num_frames: int,
-                    mesh=None, view: int = 0, keys_stride: int = 1) -> float:
+                    mesh=None, view: int = 0, keys_stride: int = 1,
+                    start_frame: int = 0) -> float:
     """GT-free best-epoch criterion: mean MSE of a held-out val view rendered
     at every frame with the learned poses (frame 0 = identity). Lower is
     better. Replaces the GT-pose oracle that only the synthetic benchmark
     has; validated against it in scripts/synthetic_e2e.py."""
     rays_o, rays_d = val_data.view_rays(view)
     total, count = 0.0, 0
-    for f in range(num_frames):
+    for f in range(start_frame, num_frames):
         pose = loop.gather_frame_pose(
             jnp.asarray(params["poses"]), jnp.asarray(f), star_cfg.num_vehicles)
         out = render_image(params["nerf"], star_cfg, rays_o, rays_d, pose=pose,
@@ -275,7 +276,8 @@ def train(cfg: Config):
     if (cfg.polish_epochs > 0 and cfg.polish_mode == "gauge_align"
             and not cfg.load_gt_poses):
         tx_gauge = optax.adam(cfg.lrate_pose)
-        gauge_step_fn = loop.make_gauge_train_step(star_cfg, tx_gauge)
+        gauge_step_fn = loop.make_gauge_train_step(
+            star_cfg, tx_gauge, freeze_rot=cfg.gauge_freeze_rot)
 
     cur_cfg = CurriculumConfig(
         num_frames=cfg.num_frames,
@@ -523,22 +525,71 @@ def train(cfg: Config):
                     avg = run_gauge_epoch(epoch)
                     ga["used"] += 1
                     if ga["used"] >= cfg.gauge_epochs:
-                        G = np.asarray(ga["gauge"])
-                        corrected = lie.se3_multiply(
-                            jnp.asarray(G)[None],
-                            jnp.asarray(params["poses"]))
-                        params = dict(params, poses=corrected)
-                        if mesh is not None:
-                            params = meshlib.replicate_params(params, mesh)
-                        # the pose jump invalidates accumulated moments
-                        opt_state_field = tx_field.init(params)
-                        opt_state_polish = tx_polish.init(params)
-                        ga.update(stage="alternate", used=0,
-                                  rounds=ga["rounds"] + 1,
-                                  ref_params=None, opt=None)
-                        alt_phase, alt_losses = "field", []
-                        ws.log(f"gauge_align: applied gauge t={G[:, :3].tolist()}"
-                               " -> alternate re-convergence")
+                        G = np.asarray(ga["gauge"])  # [K, 7]
+                        accepted = np.array(
+                            lie.se3_identity(star_cfg.num_vehicles))
+                        n_acc = 0
+                        if cfg.gauge_guard:
+                            # per-vehicle acceptance on a HELD-OUT view
+                            # against the drift-free reference fields: the
+                            # r3 run showed the shared fit can land in a
+                            # duplicate photometric mode on train views
+                            # (v2 trans 0.068 -> 0.40); a component is
+                            # applied only if it strictly improves the
+                            # held-out error
+                            def _ref_score(g):
+                                cand = lie.se3_multiply(
+                                    jnp.asarray(g)[None],
+                                    jnp.asarray(params["poses"]))
+                                return selection_score(
+                                    cfg, star_cfg,
+                                    {"nerf": ga["ref_params"]["nerf"],
+                                     "poses": cand},
+                                    val_data, cfg.num_frames, mesh=mesh,
+                                    start_frame=1)
+                            base = _ref_score(accepted)
+                            for k in range(star_cfg.num_vehicles):
+                                gk = accepted.copy()
+                                gk[k] = G[k]
+                                sk = _ref_score(gk)
+                                ok = sk < base * (1.0 - 1e-3)
+                                ws.log(f"gauge_align guard: vehicle {k} "
+                                       f"held-out {base:.4e} -> {sk:.4e} "
+                                       f"({'accept' if ok else 'reject'})")
+                                if ok:
+                                    accepted[k] = G[k]
+                                    n_acc += 1
+                        else:
+                            accepted, n_acc = G, star_cfg.num_vehicles
+                        if n_acc == 0:
+                            # no component improved the held-out view: the
+                            # fit found no real drift (or a duplicate mode)
+                            # — stop gauging, resume plain alternation with
+                            # poses and optimizer moments untouched
+                            ga.update(stage="alternate", used=0,
+                                      rounds=cfg.gauge_rounds,
+                                      ref_params=None, opt=None)
+                            alt_phase, alt_losses = "field", []
+                            ws.log("gauge_align: guard rejected every "
+                                   "vehicle -> alternate (poses unchanged)")
+                        else:
+                            corrected = lie.se3_multiply(
+                                jnp.asarray(accepted)[None],
+                                jnp.asarray(params["poses"]))
+                            params = dict(params, poses=corrected)
+                            if mesh is not None:
+                                params = meshlib.replicate_params(params, mesh)
+                            # the pose jump invalidates accumulated moments
+                            opt_state_field = tx_field.init(params)
+                            opt_state_polish = tx_polish.init(params)
+                            ga.update(stage="alternate", used=0,
+                                      rounds=ga["rounds"] + 1,
+                                      ref_params=None, opt=None)
+                            alt_phase, alt_losses = "field", []
+                            ws.log("gauge_align: applied gauge "
+                                   f"t={accepted[:, :3].tolist()} "
+                                   f"({n_acc}/{star_cfg.num_vehicles} "
+                                   "accepted) -> alternate re-convergence")
                 elif mode == "refit_anchor" and refit["stage"] == "field":
                     if refit["used"] == 0:
                         # re-anchor: FRESH canonical dynamic fields, fit from

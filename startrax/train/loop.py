@@ -184,7 +184,7 @@ def make_online_train_step(
     return train_step
 
 
-def make_gauge_train_step(star_cfg: StarConfig, tx):
+def make_gauge_train_step(star_cfg: StarConfig, tx, freeze_rot: bool = False):
     """Shared per-vehicle SE(3) gauge fit (polish_mode = "gauge_align").
 
     At the alternation fixed point the pose residual is dominated by a
@@ -215,6 +215,10 @@ def make_gauge_train_step(star_cfg: StarConfig, tx):
     @jax.jit
     def gauge_step(gauge, opt_state, nerf, poses, batch, key):
         loss, grads = jax.value_and_grad(loss_fn)(gauge, nerf, poses, batch, key)
+        if freeze_rot:
+            # translation-only gauge: keep the quaternion at identity AND
+            # its Adam moments zero (cf. ADVICE r2 on barf freeze_rot)
+            grads = grads.at[..., 3:7].set(0.0)
         updates, opt_state = tx.update(grads, opt_state, gauge)
         gauge = optax.apply_updates(gauge, updates)
         gauge = gauge.at[..., 3:7].set(lie.quat_normalize(gauge[..., 3:7]))

@@ -189,6 +189,16 @@ class Config:
     # machinery with fresh optimizer moments. Repeats up to gauge_rounds.
     gauge_rounds: int = 1
     gauge_epochs: int = 2
+    # translation-only gauge fit: the r3 gauge run (artifacts/
+    # e2e_r3_gauge_history.json epoch 36) showed the full-SE(3) shared fit
+    # can still jump to a duplicate photometric mode (v2 trans 0.068 -> 0.40,
+    # rot 0.068 -> 0.46); restricting G to translation removes the rotation
+    # mode family
+    gauge_freeze_rot: bool = True
+    # per-vehicle acceptance guard: apply a vehicle's gauge component only if
+    # it strictly improves the held-out-val-view photometric error against
+    # the reference fields (GT-free); a rejected fit ends the gauge rounds
+    gauge_guard: bool = True
 
     # --- best-epoch selection (GT-free by default) ---
     # "photometric": held-out-val-view MSE over all admitted frames (usable

@@ -312,6 +312,7 @@ def test_online_gauge_align_polish(tmp_path):
         epochs_between_frames=0,
         polish_epochs=7, polish_mode="gauge_align",
         refit_epochs=1, gauge_epochs=1, gauge_rounds=2,
+        gauge_guard=False,  # exercise the unconditional-apply machinery
         alt_field_epochs=1, alt_pose_epochs=1,
         alt_plateau_window=100,  # phase lengths drive the transitions
         selection="photometric", selection_patience=0,
@@ -329,6 +330,38 @@ def test_online_gauge_align_polish(tmp_path):
     assert phases.count("gauge_ref") == 2 and phases.count("gauge_fit") == 2
     assert phases.index("polish_pose") < len(phases) - 1 - phases[::-1].index(
         "gauge_ref")
+    q = np.asarray(params["poses"][..., 3:7])
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
+
+
+def test_online_gauge_guard_rejects_garbage_fit(tmp_path):
+    """The per-vehicle held-out acceptance guard: a gauge fit driven to a
+    garbage correction (huge pose LR) must be rejected — the run completes
+    with poses untouched by the gauge application and no second gauge round
+    is attempted (rejection ends the gauge machinery)."""
+    import numpy as np
+    from startrax.apps import online
+
+    cfg = _tiny_synthetic_cfg(
+        tmp_path, epochs_online=12, online_thres=1e9,
+        online_thres_tightened=1e9, initial_num_frames=5,
+        noisy_pose_init=True, steps_per_epoch=4,
+        epochs_between_frames=0, lrate_pose=5.0,
+        polish_epochs=7, polish_mode="gauge_align",
+        refit_epochs=1, gauge_epochs=1, gauge_rounds=2,
+        alt_field_epochs=1, alt_pose_epochs=1,
+        alt_plateau_window=100,
+        selection="photometric", selection_patience=0,
+    )
+    params = online.train(cfg)
+    run_dir = tmp_path / "smoke" / "online"
+    history = json.loads((run_dir / "history.json").read_text())
+    phases = [h["phase"] for h in history]
+    assert "gauge_fit" in phases
+    # rejection maxes the round counter: the gauge stage never re-enters
+    assert phases.count("gauge_ref") == 1 and phases.count("gauge_fit") == 1
+    # alternation continues after the rejected fit
+    assert phases.index("gauge_fit") < phases.index("polish_field")
     q = np.asarray(params["poses"][..., 3:7])
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 

@@ -223,6 +223,26 @@ def test_freeze_rot_keeps_rotations_moves_translations():
     assert not np.allclose(np.asarray(params["poses"][..., :3]), t0)
 
 
+def test_gauge_step_freeze_rot_translation_only():
+    """gauge_freeze_rot: the shared gauge's quaternion stays exactly identity
+    while its translation moves — the full-SE(3) fit's duplicate-mode jump
+    (artifacts/e2e_r3_gauge_history.json epoch 36) is structurally excluded."""
+    params = loop.init_online_params(jax.random.PRNGKey(8), CFG, num_frames=4)
+    gauge = jnp.asarray(lie.se3_identity(CFG.num_vehicles))
+    tx = optax.adam(5e-3)
+    opt_state = tx.init(gauge)
+    step = loop.make_gauge_train_step(CFG, tx, freeze_rot=True)
+    b = _batch(n=16, with_frame=True)
+    for i in range(2):
+        gauge, opt_state, lossv = step(
+            gauge, opt_state, params["nerf"], params["poses"], b,
+            jax.random.PRNGKey(i))
+    g = np.asarray(gauge)
+    np.testing.assert_array_equal(
+        g[..., 3:7], np.asarray(lie.se3_identity(CFG.num_vehicles))[..., 3:7])
+    assert not np.allclose(g[..., :3], 0.0)
+
+
 def test_gather_frame_pose_pins_frame0_identity():
     poses = jnp.asarray(np.random.default_rng(4).normal(size=(3, 2, 7)).astype(np.float32))
     p0 = loop.gather_frame_pose(poses, jnp.asarray(0), 2)
