@@ -142,6 +142,21 @@ def _pe_encode128_bwd(x, g, num_freqs: int, width: int = 128):
     return jnp.concatenate(dxs, axis=-1)
 
 
+def pe_mask_row(weights_per_freq, num_freqs: int, width: int = 128):
+    """BARF per-frequency weights [num_freqs] -> a [1, width] mask over the
+    lane-aligned encoding columns (_pe_cols layout): 1.0 on the raw-input
+    columns (BARF never masks include_input, reference embedder.py:104-108),
+    w[freq(j)] on the sin/cos columns. Computed OUTSIDE the kernel (it only
+    depends on the schedule step) and multiplied onto the [T, width] encoding
+    inside — the coarse-to-fine warmup stays on the fused kernel instead of
+    falling back to encode-outside HBM arrays."""
+    cols = jnp.arange(width)
+    j = jnp.maximum(cols - 3, 0)
+    freq = jnp.clip(j // 6, 0, num_freqs - 1)
+    row = jnp.where(cols < 3, 1.0, weights_per_freq.astype(jnp.float32)[freq])
+    return row[None, :]
+
+
 def _encode_in_kernel(x, num_freqs: int):
     """NeRF positional encoding computed on VMEM-resident values; layout
     matches ops.encoding.positional_encoding ([x, sin f0, cos f0, sin f1...])
@@ -239,17 +254,22 @@ def _act_shapes(n_blocks: int, width: int, n_rows: int):
     return shapes
 
 
-def _fwd_kernel(n_blocks, pe, save, x_ref, d_ref, *wrefs_and_out):
+def _fwd_kernel(n_blocks, pe, save, masked, x_ref, d_ref, *rest):
     n_w = 2 + 4 * n_blocks + 10
-    wrefs = wrefs_and_out[:n_w]
-    out_ref = wrefs_and_out[n_w]
-    act_refs = wrefs_and_out[n_w + 1 :]
+    n_m = 2 if masked else 0
+    mask_refs = rest[:n_m]
+    wrefs = rest[n_m : n_m + n_w]
+    out_ref = rest[n_m + n_w]
+    act_refs = rest[n_m + n_w + 1 :]
     weights = tuple(w[...] for w in wrefs)
     x_emb = x_ref[...]
     d_emb = d_ref[...]
     if pe is not None:
         x_emb = _pe_encode128(x_emb, pe[0])
         d_emb = _pe_encode128(d_emb, pe[1])
+        if masked:
+            x_emb = x_emb * mask_refs[0][...]
+            d_emb = d_emb * mask_refs[1][...]
     if save:
         alpha, rgb, acts = _forward_math(x_emb, d_emb, weights, n_blocks,
                                          save_acts=True)
@@ -265,10 +285,14 @@ def _gt0(x):
     return x.astype(jnp.float32) > 0.0
 
 
-def _bwd_kernel(n_blocks, pe, saved, x_ref, d_ref, *rest):
-    """rest = (*wrefs, g_ref, [*act_refs,] dx_ref, dd_ref, *dwrefs)."""
+def _bwd_kernel(n_blocks, pe, saved, masked, x_ref, d_ref, *rest):
+    """rest = ([mx_ref, md_ref,] *wrefs, g_ref, [*act_refs,] dx_ref, dd_ref,
+    *dwrefs)."""
     n_w = 2 + 4 * n_blocks + 10
+    n_m = 2 if masked else 0
     n_acts = (2 * n_blocks + 4) if saved else 0
+    mask_refs = rest[:n_m]
+    rest = rest[n_m:]
     wrefs = rest[:n_w]
     g_ref = rest[n_w]
     act_refs = rest[n_w + 1 : n_w + 1 + n_acts]
@@ -289,6 +313,9 @@ def _bwd_kernel(n_blocks, pe, saved, x_ref, d_ref, *rest):
     if pe is not None:
         x_emb = _pe_encode128(x_in, pe[0])
         d_emb = _pe_encode128(d_in, pe[1])
+        if masked:
+            x_emb = x_emb * mask_refs[0][...]
+            d_emb = d_emb * mask_refs[1][...]
     else:
         x_emb, d_emb = x_in, d_in
     if saved:
@@ -360,6 +387,10 @@ def _bwd_kernel(n_blocks, pe, saved, x_ref, d_ref, *rest):
     db_in = jnp.sum(dh, axis=0)
 
     if pe is not None:
+        if masked:
+            # emb = mask * base: chain the mask into the encoding backward
+            dx_emb = dx_emb * mask_refs[0][...]
+            dd_emb = dd_emb * mask_refs[1][...]
         dx_ref[...] = _pe_encode128_bwd(x_in, dx_emb, pe[0])
         dd_ref[...] = _pe_encode128_bwd(d_in, dd_emb, pe[1])
     else:
@@ -383,10 +414,11 @@ def _pad_to(x, n_target):
     return jnp.concatenate([x, pad], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
-def _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, saved,
-                      x_emb, d_emb, *weights):
-    return _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
+                      x_emb, d_emb, mask_x, mask_d, *weights):
+    return _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
+                           masks=(mask_x, mask_d) if masked else None)
 
 
 def _pad_rows(w, n_rows):
@@ -429,7 +461,7 @@ def _cast_weights(weights):
 
 
 def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
-                    save_acts: bool = False):
+                    save_acts: bool = False, masks=None):
     n = x_emb.shape[0]
     n_pad = pl.cdiv(n, tile) * tile
     xp = _pad_to(x_emb, n_pad)
@@ -439,6 +471,13 @@ def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
     if pe is not None:
         wk = _pad_weights_for_pe(wk)
 
+    mask_args, mask_specs = (), []
+    if masks is not None:
+        mask_args = tuple(masks)
+        mask_specs = [
+            pl.BlockSpec((1, m.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for m in mask_args
+        ]
     w_specs = [
         pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd))
         for w in wk
@@ -452,35 +491,40 @@ def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
             out_specs.append(pl.BlockSpec(
                 (tile, shp[1]), lambda i: (i, 0), memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_blocks, pe, save_acts),
+        functools.partial(_fwd_kernel, n_blocks, pe, save_acts, masks is not None),
         out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *mask_specs,
             *w_specs,
         ],
         out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xp, dp, *wk)
+    )(xp, dp, *mask_args, *wk)
     if save_acts:
         return outs[0][:n], outs[1:]  # acts stay padded for the bwd call
     return outs[0][:n]
 
 
-def _fused_fwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved,
-                    x_emb, d_emb, *weights):
+def _fused_fwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
+                    x_emb, d_emb, mask_x, mask_d, *weights):
+    masks = (mask_x, mask_d) if masked else None
     if saved:
         out, acts = _fused_fwd_call(n_blocks, tile, interpret, pe,
-                                    x_emb, d_emb, weights, save_acts=True)
-        return out, (x_emb, d_emb, weights, acts)
-    out = _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights)
-    return out, (x_emb, d_emb, weights, None)
+                                    x_emb, d_emb, weights, save_acts=True,
+                                    masks=masks)
+        return out, (x_emb, d_emb, mask_x, mask_d, weights, acts)
+    out = _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
+                          masks=masks)
+    return out, (x_emb, d_emb, mask_x, mask_d, weights, None)
 
 
-def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, residuals, g):
-    x_emb, d_emb, weights, acts = residuals
+def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
+                    residuals, g):
+    x_emb, d_emb, mask_x, mask_d, weights, acts = residuals
     # saved acts are tiled by the forward tile; the backward must match it
     tile = tile if saved else (bwd_tile or tile)
     n = x_emb.shape[0]
@@ -502,6 +546,13 @@ def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, residuals, g
         pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd), memory_space=pltpu.VMEM)
         for w in wk
     ]
+    mask_args, mask_specs = (), []
+    if masked:
+        mask_args = (mask_x, mask_d)
+        mask_specs = [
+            pl.BlockSpec((1, m.shape[1]), lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for m in mask_args
+        ]
     act_args, act_specs = (), []
     if saved:
         act_args = tuple(acts)
@@ -512,7 +563,7 @@ def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, residuals, g
         ]
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_blocks, pe, saved),
+        functools.partial(_bwd_kernel, n_blocks, pe, saved, masked),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, x_emb.shape[1]), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, d_emb.shape[1]), jnp.float32),
@@ -522,6 +573,7 @@ def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, residuals, g
         in_specs=[
             pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *mask_specs,
             *w_specs,
             pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *act_specs,
@@ -533,14 +585,15 @@ def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, residuals, g
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xp, dp, *wk, gp, *act_args)
+    )(xp, dp, *mask_args, *wk, gp, *act_args)
 
     dx = outs[0][:n]
     dd = outs[1][:n]
     dweights = outs[2:]
     if pe is not None:
         dweights = _unpad_weight_grads(dweights, weights)
-    return (dx, dd, *dweights)
+    # masks are schedule values, not parameters — zero cotangents
+    return (dx, dd, jnp.zeros_like(mask_x), jnp.zeros_like(mask_d), *dweights)
 
 
 _fused_apply_flat.defvjp(_fused_fwd_rule, _fused_bwd_rule)
@@ -556,6 +609,7 @@ def fused_field_apply(
     pe=None,
     bwd_tile: int | None = None,
     saved_acts: bool | None = None,
+    pe_masks=None,
 ):
     """Fused MLP: encoded points [N, in_ch] + encoded dirs [N, view_ch] ->
     (raw_alpha [N], raw_rgb [N, 3]). Differentiable (custom VJP).
@@ -563,6 +617,10 @@ def fused_field_apply(
     With pe=(multires, multires_views), x_emb/d_emb are RAW [N, 3] points and
     directions and the positional encoding (and its backward) runs inside the
     kernel — no [N, 90] encode arrays in HBM.
+
+    pe_masks=(mask_x [1, 128], mask_d [1, 128]) multiplies per-column masks
+    onto the in-kernel encodings (BARF coarse-to-fine; build with
+    pe_mask_row). Requires pe.
 
     saved_acts=True streams the forward's bf16 activations to HBM and the
     backward consumes them instead of recomputing the chain (forces the
@@ -573,9 +631,17 @@ def fused_field_apply(
         bwd_tile = DEFAULT_BWD_TILE
     if saved_acts is None:
         saved_acts = DEFAULT_SAVED_ACTS
+    masked = pe_masks is not None
+    if masked and pe is None:
+        raise ValueError("pe_masks requires the in-kernel pe mode")
+    if masked:
+        mask_x, mask_d = pe_masks
+    else:
+        # unused dummies (DCE'd): custom_vjp needs a fixed positional arity
+        mask_x = mask_d = jnp.ones((1, 1), jnp.float32)
     flat = flatten_params(params, n_blocks)
     out = _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, saved_acts,
-                            x_emb, d_emb, *flat)
+                            masked, x_emb, d_emb, mask_x, mask_d, *flat)
     return out[:, 0], out[:, 1:4]
 
 

@@ -137,14 +137,26 @@ def apply_field(
     dirs = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
 
     if _resolve_use_fused(cfg):
-        from ..kernels.fused_mlp import fused_field_apply
+        from ..kernels.fused_mlp import fused_field_apply, pe_mask_row
 
         barf_active = step is not None and cfg.end_barf > 0
-        if x.shape[-1] == 3 and not barf_active:
+        if x.shape[-1] == 3:
             # raw pts/dirs; the lane-aligned positional encoding (and its
-            # backward) runs inside the kernel — no [N, 90] encode arrays
+            # backward) runs inside the kernel — no [N, 90] encode arrays.
+            # BARF coarse-to-fine rides the same path: the schedule only
+            # changes a per-frequency column mask, computed outside and
+            # multiplied onto the encoding in-kernel.
+            pe_masks = None
+            if barf_active:
+                from ..ops.encoding import barf_weights
+
+                wx = barf_weights(step, cfg.end_barf, cfg.multires)
+                wd = barf_weights(step, cfg.end_barf, cfg.multires_views)
+                pe_masks = (pe_mask_row(wx, cfg.multires),
+                            pe_mask_row(wd, cfg.multires_views))
             raw_alpha, raw_rgb = fused_field_apply(
-                params, x, dirs, cfg.n_blocks, pe=(cfg.multires, cfg.multires_views)
+                params, x, dirs, cfg.n_blocks,
+                pe=(cfg.multires, cfg.multires_views), pe_masks=pe_masks,
             )
         else:
             emb = positional_encoding(x, cfg.multires, step=step, end_barf=cfg.end_barf)

@@ -311,8 +311,8 @@ def test_fused_pe_in_kernel_input_grads():
 
 
 def test_barf_path_dispatches_and_masks():
-    """end_barf > 0 with a step uses the encode-outside path; low step
-    suppresses high-frequency response."""
+    """end_barf > 0 with a step rides the in-kernel PE path with a column
+    mask; low step suppresses high-frequency response."""
     import dataclasses
 
     cfg = dataclasses.replace(CFG, end_barf=100, use_fused=True)
@@ -323,3 +323,88 @@ def test_barf_path_dispatches_and_masks():
     a_unmasked, _ = fields.apply_field(params, dataclasses.replace(CFG, use_fused=True), pts, dirs)
     assert float(jnp.abs(a_early - a_late).max()) > 1e-6
     np.testing.assert_allclose(np.asarray(a_late), np.asarray(a_unmasked), atol=1e-5)
+
+
+def test_fused_barf_in_kernel_matches_encode_outside():
+    """Mid-schedule BARF: the in-kernel column-masked encoding must match the
+    encode-outside masked encoding in values and in input gradients (the
+    warmup's pose-gradient path)."""
+    params, pts, dirs, *_ = _setup(seed=9)
+    x = pts.reshape(-1, 3)
+    d = jnp.broadcast_to(dirs[:, None, :], pts.shape).reshape(-1, 3)
+    step, end_barf = jnp.asarray(37.0), 100
+
+    from startrax.kernels.fused_mlp import pe_mask_row
+    from startrax.ops.encoding import barf_weights
+
+    masks = (
+        pe_mask_row(barf_weights(step, end_barf, CFG.multires), CFG.multires),
+        pe_mask_row(barf_weights(step, end_barf, CFG.multires_views),
+                    CFG.multires_views),
+    )
+
+    def loss_in_kernel(p, xx):
+        a, r = fused_field_apply(
+            p, xx, d, CFG.n_blocks, tile=32, interpret=True,
+            pe=(CFG.multires, CFG.multires_views), pe_masks=masks,
+        )
+        return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+    def loss_outside(p, xx):
+        e = positional_encoding(xx, CFG.multires, step=step, end_barf=end_barf)
+        ed = positional_encoding(d, CFG.multires_views, step=step, end_barf=end_barf)
+        a, r = fused_field_apply(p, e, ed, CFG.n_blocks, tile=32, interpret=True)
+        return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+    v1 = float(loss_in_kernel(params, x))
+    v0 = float(loss_outside(params, x))
+    np.testing.assert_allclose(v1, v0, rtol=1e-5)
+
+    (gp1, gx1) = jax.grad(loss_in_kernel, argnums=(0, 1))(params, x)
+    (gp0, gx0) = jax.grad(loss_outside, argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(gp1), jax.tree.leaves(gp0)):
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-2
+        )
+    scale = np.abs(np.asarray(gx0)).max() + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(gx1) / scale, np.asarray(gx0) / scale, atol=2e-2
+    )
+
+
+def test_fused_barf_in_kernel_with_saved_acts():
+    """BARF masking composes with the saved-activation backward."""
+    params, pts, dirs, *_ = _setup(seed=10)
+    x = pts.reshape(-1, 3)
+    d = jnp.broadcast_to(dirs[:, None, :], pts.shape).reshape(-1, 3)
+    step, end_barf = jnp.asarray(42.0), 100
+
+    from startrax.kernels.fused_mlp import pe_mask_row
+    from startrax.ops.encoding import barf_weights
+
+    masks = (
+        pe_mask_row(barf_weights(step, end_barf, CFG.multires), CFG.multires),
+        pe_mask_row(barf_weights(step, end_barf, CFG.multires_views),
+                    CFG.multires_views),
+    )
+
+    def loss(p, xx, saved):
+        a, r = fused_field_apply(
+            p, xx, d, CFG.n_blocks, tile=32, interpret=True,
+            pe=(CFG.multires, CFG.multires_views), pe_masks=masks,
+            saved_acts=saved,
+        )
+        return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+    np.testing.assert_allclose(
+        float(loss(params, x, True)), float(loss(params, x, False)), rtol=1e-6
+    )
+    g0, gx0 = jax.grad(loss, argnums=(0, 1))(params, x, False)
+    g1, gx1 = jax.grad(loss, argnums=(0, 1))(params, x, True)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5
+        )
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0), atol=1e-5)
