@@ -150,6 +150,45 @@ def selection_score(cfg: Config, star_cfg, params, val_data, num_frames: int,
     return total / max(count, 1)
 
 
+# gauge_guard: a candidate correction must keep the vehicle at least this
+# visible (held-out mean opacity mass vs the uncorrected poses). A garbage
+# fit that teleports a vehicle out of the frustum can IMPROVE the held-out
+# photometric score whenever the reference dynamic fields explain the pixels
+# worse than the static background — "accept by vanishing". Visibility is
+# orthogonal to photometric quality, so the two checks compose.
+GAUGE_GUARD_MIN_VIS = 0.3
+
+
+def _gauge_accept(base_score: float, cand_score: float,
+                  base_vis: float, cand_vis: float,
+                  min_vis: float = GAUGE_GUARD_MIN_VIS,
+                  rel: float = 1e-3) -> bool:
+    """Per-vehicle gauge acceptance: the candidate correction must strictly
+    improve the held-out photometric error AND keep the vehicle visible."""
+    better = cand_score < base_score * (1.0 - rel)
+    visible = base_vis < 1e-4 or cand_vis >= min_vis * base_vis
+    return bool(better and visible)
+
+
+def _guard_eval(cfg: Config, star_cfg, params, val_data, num_frames: int,
+                mesh=None, view: int = 0, start_frame: int = 1):
+    """selection_score + per-vehicle held-out visibility mass [K] (mean
+    1 - dynamic transmittance over rays and frames)."""
+    rays_o, rays_d = val_data.view_rays(view)
+    total, count = 0.0, 0
+    mass = np.zeros(star_cfg.num_vehicles)
+    for f in range(start_frame, num_frames):
+        pose = loop.gather_frame_pose(
+            jnp.asarray(params["poses"]), jnp.asarray(f), star_cfg.num_vehicles)
+        out = render_image(params["nerf"], star_cfg, rays_o, rays_d, pose=pose,
+                           mesh=mesh, keys=("rgb", "dynamic_transmittance"))
+        target = np.asarray(val_data.images[view, f], np.float32)
+        total += float(np.mean((out["rgb"] - target) ** 2))
+        mass += np.mean(1.0 - out["dynamic_transmittance"], axis=(0, 1))
+        count += 1
+    return total / max(count, 1), mass / max(count, 1)
+
+
 def train(cfg: Config):
     ws = Workspace(cfg, "online")
     star_cfg = star_config_from(cfg)
@@ -536,25 +575,29 @@ def train(cfg: Config):
                             # duplicate photometric mode on train views
                             # (v2 trans 0.068 -> 0.40); a component is
                             # applied only if it strictly improves the
-                            # held-out error
-                            def _ref_score(g):
+                            # held-out error AND keeps the vehicle visible
+                            # (no accept-by-vanishing, _guard_eval docs)
+                            def _ref_eval(g):
                                 cand = lie.se3_multiply(
                                     jnp.asarray(g)[None],
                                     jnp.asarray(params["poses"]))
-                                return selection_score(
+                                return _guard_eval(
                                     cfg, star_cfg,
                                     {"nerf": ga["ref_params"]["nerf"],
                                      "poses": cand},
                                     val_data, cfg.num_frames, mesh=mesh,
                                     start_frame=1)
-                            base = _ref_score(accepted)
+                            base, base_mass = _ref_eval(accepted)
                             for k in range(star_cfg.num_vehicles):
                                 gk = accepted.copy()
                                 gk[k] = G[k]
-                                sk = _ref_score(gk)
-                                ok = sk < base * (1.0 - 1e-3)
+                                sk, mk = _ref_eval(gk)
+                                ok = _gauge_accept(base, sk,
+                                                   base_mass[k], mk[k])
                                 ws.log(f"gauge_align guard: vehicle {k} "
                                        f"held-out {base:.4e} -> {sk:.4e} "
+                                       f"vis {base_mass[k]:.4e} -> "
+                                       f"{mk[k]:.4e} "
                                        f"({'accept' if ok else 'reject'})")
                                 if ok:
                                     accepted[k] = G[k]

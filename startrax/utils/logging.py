@@ -18,16 +18,32 @@ import numpy as np
 
 
 def configure_logger(run_dir: str, name: str = "startrax") -> logging.Logger:
+    """Named logger with a FileHandler on <run_dir>/run.log.
+
+    Loggers are process-global: a second run in the same process (train then
+    test, or consecutive runs in one pytest session) reuses the name, so the
+    file handler must follow the CURRENT run_dir — a stale handler would keep
+    appending to the first run's file and leave the new run.log missing."""
     os.makedirs(run_dir, exist_ok=True)
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
-    if not logger.handlers:
-        fh = logging.FileHandler(os.path.join(run_dir, "run.log"))
-        sh = logging.StreamHandler()
-        fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    path = os.path.abspath(os.path.join(run_dir, "run.log"))
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    have_file = False
+    for h in list(logger.handlers):
+        if isinstance(h, logging.FileHandler):
+            if h.baseFilename == path:
+                have_file = True
+            else:
+                logger.removeHandler(h)
+                h.close()
+    if not have_file:
+        fh = logging.FileHandler(path)
         fh.setFormatter(fmt)
-        sh.setFormatter(fmt)
         logger.addHandler(fh)
+    if not any(type(h) is logging.StreamHandler for h in logger.handlers):
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
         logger.addHandler(sh)
     return logger
 

@@ -334,19 +334,48 @@ def test_online_gauge_align_polish(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 
 
-def test_online_gauge_guard_rejects_garbage_fit(tmp_path):
-    """The per-vehicle held-out acceptance guard: a gauge fit driven to a
-    garbage correction (huge pose LR) must be rejected — the run completes
-    with poses untouched by the gauge application and no second gauge round
-    is attempted (rejection ends the gauge machinery)."""
+def test_gauge_accept_rule():
+    """The per-vehicle acceptance inequality: strict held-out improvement AND
+    no accept-by-vanishing (a correction that teleports the vehicle out of
+    view can improve the photometric score for free)."""
+    from startrax.apps.online import _gauge_accept
+
+    assert _gauge_accept(1.0, 0.9, 0.5, 0.4)          # better + visible
+    assert not _gauge_accept(1.0, 1.1, 0.5, 0.5)      # worse score
+    assert not _gauge_accept(1.0, 0.9999, 0.5, 0.5)   # not strictly better
+    assert not _gauge_accept(1.0, 0.5, 0.5, 0.01)     # vanished vehicle
+    assert _gauge_accept(1.0, 0.5, 0.0, 0.0)          # invisible at base: no
+    # vanishing possible, photometric alone decides
+
+
+def test_online_gauge_guard_rejects_garbage_fit(tmp_path, monkeypatch):
+    """Guard plumbing end-to-end: when the held-out evaluation rejects every
+    vehicle's correction, the fit is discarded (poses untouched), the gauge
+    machinery ends (no second round), and the run continues in plain
+    alternation. The evaluation itself is stubbed to reject deterministically
+    — with a tiny degenerate run the photometric comparison against barely-
+    trained scratch fields is arbitrary (the acceptance rule proper is unit-
+    tested in test_gauge_accept_rule)."""
     import numpy as np
     from startrax.apps import online
+
+    calls = {"n": 0}
+
+    def fake_guard_eval(cfg, star_cfg, params, val_data, num_frames,
+                        mesh=None, view=0, start_frame=1):
+        # first call per gauge round scores the uncorrected base; every
+        # candidate afterwards scores strictly worse -> reject all
+        calls["n"] += 1
+        score = 1.0 if calls["n"] == 1 else 2.0
+        return score, np.ones(star_cfg.num_vehicles)
+
+    monkeypatch.setattr(online, "_guard_eval", fake_guard_eval)
 
     cfg = _tiny_synthetic_cfg(
         tmp_path, epochs_online=12, online_thres=1e9,
         online_thres_tightened=1e9, initial_num_frames=5,
         noisy_pose_init=True, steps_per_epoch=4,
-        epochs_between_frames=0, lrate_pose=5.0,
+        epochs_between_frames=0,
         polish_epochs=7, polish_mode="gauge_align",
         refit_epochs=1, gauge_epochs=1, gauge_rounds=2,
         alt_field_epochs=1, alt_pose_epochs=1,
@@ -361,7 +390,12 @@ def test_online_gauge_guard_rejects_garbage_fit(tmp_path):
     # rejection maxes the round counter: the gauge stage never re-enters
     assert phases.count("gauge_ref") == 1 and phases.count("gauge_fit") == 1
     # alternation continues after the rejected fit
-    assert phases.index("gauge_fit") < phases.index("polish_field")
+    i = phases.index("gauge_fit")
+    assert i < phases.index("polish_field")
+    # the rejected fit left the production poses untouched (the following
+    # polish_field epoch is field-only, so its pose error must be identical)
+    assert history[i]["trans"] == history[i + 1]["trans"]
+    assert "guard rejected every vehicle" in (run_dir / "run.log").read_text()
     q = np.asarray(params["poses"][..., 3:7])
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 
