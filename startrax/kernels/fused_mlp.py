@@ -51,9 +51,10 @@ DEFAULT_BWD_TILE = int(__import__("os").environ.get("STARTRAX_BWD_TILE", "1024")
 # Saved-activation backward: the forward kernel also streams its bf16
 # layer activations to HBM and the backward reads them instead of
 # recomputing the forward chain (~1/3 of the backward FLOPs) — trading
-# ~2x activation HBM traffic for the recompute. Env-gated for measurement;
-# see BENCH_NOTES.md round-3 findings for the verdict.
-DEFAULT_SAVED_ACTS = __import__("os").environ.get("STARTRAX_SAVED_ACTS", "0") == "1"
+# activation HBM traffic for the recompute. Default ON: measured +9.3%
+# on the flagship step (8,369 -> 9,147 rays/s, BENCH_NOTES.md round-3);
+# STARTRAX_SAVED_ACTS=0 restores the recompute backward.
+DEFAULT_SAVED_ACTS = __import__("os").environ.get("STARTRAX_SAVED_ACTS", "1") == "1"
 
 
 def _is_tpu() -> bool:
