@@ -113,11 +113,9 @@ def _pe_cols(T: int, num_freqs: int, width: int = 128):
     return cols, freq, phase, dim, out_w
 
 
-def _pe_encode128(x, num_freqs: int, width: int = 128):
-    """x [T, 3] -> lane-aligned encoding [T, width] (zeros beyond out_w)."""
-    T = x.shape[0]
+def _pe_encode128_c(x0, x1, x2, T: int, num_freqs: int, width: int = 128):
+    """Per-component [T, 1] values -> lane-aligned encoding [T, width]."""
     cols, freq, phase, dim, out_w = _pe_cols(T, num_freqs, width)
-    x0, x1, x2 = x[:, 0:1], x[:, 1:2], x[:, 2:3]
     xv = jnp.where(dim == 0, x0, jnp.where(dim == 1, x1, x2))
     val = xv * jnp.exp2(freq.astype(jnp.float32))
     enc = jnp.where(phase == 0, jnp.sin(val), jnp.cos(val))
@@ -125,11 +123,16 @@ def _pe_encode128(x, num_freqs: int, width: int = 128):
     return jnp.where(cols < out_w, enc, 0.0)
 
 
-def _pe_encode128_bwd(x, g, num_freqs: int, width: int = 128):
-    """Chain d emb[T, width] -> d x[T, 3]."""
-    T = x.shape[0]
+def _pe_encode128(x, num_freqs: int, width: int = 128):
+    """x [T, 3] -> lane-aligned encoding [T, width] (zeros beyond out_w)."""
+    return _pe_encode128_c(x[:, 0:1], x[:, 1:2], x[:, 2:3], x.shape[0],
+                           num_freqs, width)
+
+
+def _pe_encode128_bwd_c(x0, x1, x2, g, T: int, num_freqs: int,
+                        width: int = 128):
+    """Chain d emb[T, width] -> per-component grads ([T, 1] x3)."""
     cols, freq, phase, dim, out_w = _pe_cols(T, num_freqs, width)
-    x0, x1, x2 = x[:, 0:1], x[:, 1:2], x[:, 2:3]
     xv = jnp.where(dim == 0, x0, jnp.where(dim == 1, x1, x2))
     scale = jnp.exp2(freq.astype(jnp.float32))
     val = xv * scale
@@ -137,10 +140,40 @@ def _pe_encode128_bwd(x, g, num_freqs: int, width: int = 128):
     dval = jnp.where(cols < 3, 1.0, dval)
     dval = jnp.where(cols < out_w, dval, 0.0)
     gg = g * dval
-    dxs = [
+    return [
         jnp.sum(jnp.where(dim == d, gg, 0.0), axis=-1, keepdims=True) for d in range(3)
     ]
+
+
+def _pe_encode128_bwd(x, g, num_freqs: int, width: int = 128):
+    """Chain d emb[T, width] -> d x[T, 3]."""
+    dxs = _pe_encode128_bwd_c(x[:, 0:1], x[:, 1:2], x[:, 2:3], g,
+                              x.shape[0], num_freqs, width)
     return jnp.concatenate(dxs, axis=-1)
+
+
+def _warp_comps(x, w_ref, with_t: bool):
+    """In-kernel SE(3) warp: x [T, 3] world -> components (y0, y1, y2) each
+    [T, 1] with y = M x (+ t). w_ref is the packed [16] SMEM vector
+    (M row-major at [0:9], t at [9:12]). Keeping components un-concatenated
+    feeds _pe_encode128_c directly (3-wide lane concats lower poorly)."""
+    x0, x1, x2 = x[:, 0:1], x[:, 1:2], x[:, 2:3]
+    ys = []
+    for r in range(3):
+        y = w_ref[3 * r] * x0 + w_ref[3 * r + 1] * x1 + w_ref[3 * r + 2] * x2
+        if with_t:
+            y = y + w_ref[9 + r]
+        ys.append(y)
+    return ys
+
+
+def _unwarp_grad_cols(dws, w_ref):
+    """Rotate warped-frame per-component grads back to world: the columns of
+    M (rows of M^T). dws: list of 3 [T, 1]."""
+    return [
+        w_ref[c] * dws[0] + w_ref[3 + c] * dws[1] + w_ref[6 + c] * dws[2]
+        for c in range(3)
+    ]
 
 
 def pe_mask_row(weights_per_freq, num_freqs: int, width: int = 128):
@@ -255,9 +288,11 @@ def _act_shapes(n_blocks: int, width: int, n_rows: int):
     return shapes
 
 
-def _fwd_kernel(n_blocks, pe, save, masked, x_ref, d_ref, *rest):
+def _fwd_kernel(n_blocks, pe, save, masked, warped, x_ref, d_ref, *rest):
     n_w = 2 + 4 * n_blocks + 10
     n_m = 2 if masked else 0
+    warp_ref = rest[0] if warped else None
+    rest = rest[1:] if warped else rest
     mask_refs = rest[:n_m]
     wrefs = rest[n_m : n_m + n_w]
     out_ref = rest[n_m + n_w]
@@ -266,8 +301,16 @@ def _fwd_kernel(n_blocks, pe, save, masked, x_ref, d_ref, *rest):
     x_emb = x_ref[...]
     d_emb = d_ref[...]
     if pe is not None:
-        x_emb = _pe_encode128(x_emb, pe[0])
-        d_emb = _pe_encode128(d_emb, pe[1])
+        T = x_emb.shape[0]
+        if warped:
+            # vehicle-frame warp fused into the encode: the [N, 3] warped
+            # point/dir tensors never exist in HBM (models/star.py
+            # warp_to_vehicle_frames runs in-kernel instead)
+            x_emb = _pe_encode128_c(*_warp_comps(x_emb, warp_ref, True), T, pe[0])
+            d_emb = _pe_encode128_c(*_warp_comps(d_emb, warp_ref, False), T, pe[1])
+        else:
+            x_emb = _pe_encode128(x_emb, pe[0])
+            d_emb = _pe_encode128(d_emb, pe[1])
         if masked:
             x_emb = x_emb * mask_refs[0][...]
             d_emb = d_emb * mask_refs[1][...]
@@ -286,12 +329,14 @@ def _gt0(x):
     return x.astype(jnp.float32) > 0.0
 
 
-def _bwd_kernel(n_blocks, pe, saved, masked, x_ref, d_ref, *rest):
-    """rest = ([mx_ref, md_ref,] *wrefs, g_ref, [*act_refs,] dx_ref, dd_ref,
-    *dwrefs)."""
+def _bwd_kernel(n_blocks, pe, saved, masked, warped, x_ref, d_ref, *rest):
+    """rest = ([warp_ref,] [mx_ref, md_ref,] *wrefs, g_ref, [*act_refs,]
+    dx_ref, dd_ref, *dwrefs)."""
     n_w = 2 + 4 * n_blocks + 10
     n_m = 2 if masked else 0
     n_acts = (2 * n_blocks + 4) if saved else 0
+    warp_ref = rest[0] if warped else None
+    rest = rest[1:] if warped else rest
     mask_refs = rest[:n_m]
     rest = rest[n_m:]
     wrefs = rest[:n_w]
@@ -311,9 +356,17 @@ def _bwd_kernel(n_blocks, pe, saved, masked, x_ref, d_ref, *rest):
     weights = tuple(w[...] for w in wrefs)
     x_in = x_ref[...]
     d_in = d_ref[...]
+    xc = dc = None
     if pe is not None:
-        x_emb = _pe_encode128(x_in, pe[0])
-        d_emb = _pe_encode128(d_in, pe[1])
+        T = x_in.shape[0]
+        if warped:
+            xc = _warp_comps(x_in, warp_ref, True)
+            dc = _warp_comps(d_in, warp_ref, False)
+            x_emb = _pe_encode128_c(*xc, T, pe[0])
+            d_emb = _pe_encode128_c(*dc, T, pe[1])
+        else:
+            x_emb = _pe_encode128(x_in, pe[0])
+            d_emb = _pe_encode128(d_in, pe[1])
         if masked:
             x_emb = x_emb * mask_refs[0][...]
             d_emb = d_emb * mask_refs[1][...]
@@ -392,8 +445,18 @@ def _bwd_kernel(n_blocks, pe, saved, masked, x_ref, d_ref, *rest):
             # emb = mask * base: chain the mask into the encoding backward
             dx_emb = dx_emb * mask_refs[0][...]
             dd_emb = dd_emb * mask_refs[1][...]
-        dx_ref[...] = _pe_encode128_bwd(x_in, dx_emb, pe[0])
-        dd_ref[...] = _pe_encode128_bwd(d_in, dd_emb, pe[1])
+        if warped:
+            # grads land in the warped frame; rotate back to world (M^T) so
+            # downstream sees d/d world points. Pose grads (dM, dt) are
+            # recovered outside the kernel from these world grads.
+            T = x_in.shape[0]
+            dxw = _pe_encode128_bwd_c(*xc, dx_emb, T, pe[0])
+            ddw = _pe_encode128_bwd_c(*dc, dd_emb, T, pe[1])
+            dx_ref[...] = jnp.concatenate(_unwarp_grad_cols(dxw, warp_ref), axis=-1)
+            dd_ref[...] = jnp.concatenate(_unwarp_grad_cols(ddw, warp_ref), axis=-1)
+        else:
+            dx_ref[...] = _pe_encode128_bwd(x_in, dx_emb, pe[0])
+            dd_ref[...] = _pe_encode128_bwd(d_in, dd_emb, pe[1])
     else:
         dx_ref[...] = dx_emb
         dd_ref[...] = dd_emb
@@ -415,11 +478,12 @@ def _pad_to(x, n_target):
     return jnp.concatenate([x, pad], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
-                      x_emb, d_emb, mask_x, mask_d, *weights):
+                      warped, x_emb, d_emb, mask_x, mask_d, warp, *weights):
     return _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
-                           masks=(mask_x, mask_d) if masked else None)
+                           masks=(mask_x, mask_d) if masked else None,
+                           warp=warp if warped else None)
 
 
 def _pad_rows(w, n_rows):
@@ -462,7 +526,7 @@ def _cast_weights(weights):
 
 
 def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
-                    save_acts: bool = False, masks=None):
+                    save_acts: bool = False, masks=None, warp=None):
     n = x_emb.shape[0]
     n_pad = pl.cdiv(n, tile) * tile
     xp = _pad_to(x_emb, n_pad)
@@ -472,6 +536,10 @@ def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
     if pe is not None:
         wk = _pad_weights_for_pe(wk)
 
+    warp_args, warp_specs = (), []
+    if warp is not None:
+        warp_args = (warp,)
+        warp_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     mask_args, mask_specs = (), []
     if masks is not None:
         mask_args = tuple(masks)
@@ -492,40 +560,43 @@ def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
             out_specs.append(pl.BlockSpec(
                 (tile, shp[1]), lambda i: (i, 0), memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_blocks, pe, save_acts, masks is not None),
+        functools.partial(_fwd_kernel, n_blocks, pe, save_acts,
+                          masks is not None, warp is not None),
         out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *warp_specs,
             *mask_specs,
             *w_specs,
         ],
         out_specs=tuple(out_specs),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xp, dp, *mask_args, *wk)
+    )(xp, dp, *warp_args, *mask_args, *wk)
     if save_acts:
         return outs[0][:n], outs[1:]  # acts stay padded for the bwd call
     return outs[0][:n]
 
 
 def _fused_fwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
-                    x_emb, d_emb, mask_x, mask_d, *weights):
+                    warped, x_emb, d_emb, mask_x, mask_d, warp, *weights):
     masks = (mask_x, mask_d) if masked else None
+    wp = warp if warped else None
     if saved:
         out, acts = _fused_fwd_call(n_blocks, tile, interpret, pe,
                                     x_emb, d_emb, weights, save_acts=True,
-                                    masks=masks)
-        return out, (x_emb, d_emb, mask_x, mask_d, weights, acts)
+                                    masks=masks, warp=wp)
+        return out, (x_emb, d_emb, mask_x, mask_d, warp, weights, acts)
     out = _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
-                          masks=masks)
-    return out, (x_emb, d_emb, mask_x, mask_d, weights, None)
+                          masks=masks, warp=wp)
+    return out, (x_emb, d_emb, mask_x, mask_d, warp, weights, None)
 
 
 def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
-                    residuals, g):
-    x_emb, d_emb, mask_x, mask_d, weights, acts = residuals
+                    warped, residuals, g):
+    x_emb, d_emb, mask_x, mask_d, warp, weights, acts = residuals
     # saved acts are tiled by the forward tile; the backward must match it
     tile = tile if saved else (bwd_tile or tile)
     n = x_emb.shape[0]
@@ -547,6 +618,10 @@ def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
         pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd), memory_space=pltpu.VMEM)
         for w in wk
     ]
+    warp_args, warp_specs = (), []
+    if warped:
+        warp_args = (warp,)
+        warp_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     mask_args, mask_specs = (), []
     if masked:
         mask_args = (mask_x, mask_d)
@@ -564,7 +639,7 @@ def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
         ]
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_blocks, pe, saved, masked),
+        functools.partial(_bwd_kernel, n_blocks, pe, saved, masked, warped),
         out_shape=(
             jax.ShapeDtypeStruct((n_pad, x_emb.shape[1]), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, d_emb.shape[1]), jnp.float32),
@@ -574,6 +649,7 @@ def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
         in_specs=[
             pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *warp_specs,
             *mask_specs,
             *w_specs,
             pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -586,15 +662,29 @@ def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(xp, dp, *mask_args, *wk, gp, *act_args)
+    )(xp, dp, *warp_args, *mask_args, *wk, gp, *act_args)
 
     dx = outs[0][:n]
     dd = outs[1][:n]
     dweights = outs[2:]
     if pe is not None:
         dweights = _unpad_weight_grads(dweights, weights)
+    if warped:
+        # Pose grads from the world-frame input grads (dx = M^T dxw):
+        # dM = sum_t dxw_t p_t^T = M (DX^T X + DD^T D); dt = M sum_t dx_t.
+        # Two [3, N] x [N, 3] matmuls — no in-kernel accumulation needed.
+        M = warp[:9].reshape(3, 3)
+        G = (jnp.einsum("ni,nj->ij", dx, x_emb)
+             + jnp.einsum("ni,nj->ij", dd, d_emb))
+        dM = M @ G
+        dt = M @ jnp.sum(dx, axis=0)
+        dwarp = jnp.concatenate(
+            [dM.reshape(9), dt, jnp.zeros(4, warp.dtype)]).astype(warp.dtype)
+    else:
+        dwarp = jnp.zeros_like(warp)
     # masks are schedule values, not parameters — zero cotangents
-    return (dx, dd, jnp.zeros_like(mask_x), jnp.zeros_like(mask_d), *dweights)
+    return (dx, dd, jnp.zeros_like(mask_x), jnp.zeros_like(mask_d), dwarp,
+            *dweights)
 
 
 _fused_apply_flat.defvjp(_fused_fwd_rule, _fused_bwd_rule)
@@ -611,6 +701,7 @@ def fused_field_apply(
     bwd_tile: int | None = None,
     saved_acts: bool | None = None,
     pe_masks=None,
+    warp=None,
 ):
     """Fused MLP: encoded points [N, in_ch] + encoded dirs [N, view_ch] ->
     (raw_alpha [N], raw_rgb [N, 3]). Differentiable (custom VJP).
@@ -625,7 +716,13 @@ def fused_field_apply(
 
     saved_acts=True streams the forward's bf16 activations to HBM and the
     backward consumes them instead of recomputing the chain (forces the
-    backward tile to the forward tile)."""
+    backward tile to the forward tile).
+
+    warp: packed [16] f32 SE(3) warp (rotation M row-major at [0:9],
+    translation at [9:12], zero pad) applied IN-KERNEL before the positional
+    encoding: points -> M p + t, dirs -> M d. Differentiable in the warp
+    (the VJP recovers dM/dt from the world-frame input grads), so the
+    [N, 3] vehicle-frame point/dir arrays never exist in HBM. Requires pe."""
     if interpret is None:
         interpret = not _is_tpu()
     if bwd_tile is None:
@@ -640,9 +737,15 @@ def fused_field_apply(
     else:
         # unused dummies (DCE'd): custom_vjp needs a fixed positional arity
         mask_x = mask_d = jnp.ones((1, 1), jnp.float32)
+    warped = warp is not None
+    if warped and pe is None:
+        raise ValueError("warp requires the in-kernel pe mode")
+    if not warped:
+        warp = jnp.zeros((16,), jnp.float32)
     flat = flatten_params(params, n_blocks)
     out = _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, saved_acts,
-                            masked, x_emb, d_emb, mask_x, mask_d, *flat)
+                            masked, warped, x_emb, d_emb, mask_x, mask_d, warp,
+                            *flat)
     return out[:, 0], out[:, 1:4]
 
 

@@ -117,8 +117,15 @@ def apply_field(
     viewdirs,
     step: Optional[jnp.ndarray] = None,
     time: Optional[jnp.ndarray] = None,
+    warp=None,
 ):
     """Evaluate the field on pts [R, S, 3] with per-ray viewdirs [R, 3].
+
+    warp: optional packed [16] SE(3) (M row-major [0:9], t [9:12]) applied to
+    the inputs first — points -> M p + t, dirs -> M d — differentiably. On
+    the fused-kernel path the warp runs inside the Pallas kernel (the warped
+    arrays never exist in HBM); elsewhere it is applied eagerly with
+    identical semantics.
 
     Returns (raw_alpha [R, S], raw_rgb [R, S, 3]) in f32 (pre-activation;
     compositing applies softplus/sigmoid).
@@ -129,6 +136,8 @@ def apply_field(
     R, S = pts.shape[0], pts.shape[1]
     chex.assert_shape(pts, (R, S, 3))
     chex.assert_shape(viewdirs, (R, 3))
+    if warp is not None and time is not None:
+        raise ValueError("warp is only supported for 3-d inputs")
     x = pts.reshape(-1, pts.shape[-1])  # [R*S, 3]
     if time is not None:
         t = jnp.broadcast_to(jnp.asarray(time, x.dtype).reshape(-1), (x.shape[0],))
@@ -136,7 +145,15 @@ def apply_field(
 
     dirs = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
 
-    if _resolve_use_fused(cfg):
+    fused = _resolve_use_fused(cfg)
+    if warp is not None and not (fused and x.shape[-1] == 3):
+        # eager warp (exact semantics of the in-kernel path)
+        M = warp[:9].reshape(3, 3)
+        x = x @ M.T + warp[9:12]
+        dirs = dirs @ M.T
+        warp = None
+
+    if fused:
         from ..kernels.fused_mlp import fused_field_apply, pe_mask_row
 
         barf_active = step is not None and cfg.end_barf > 0
@@ -157,6 +174,7 @@ def apply_field(
             raw_alpha, raw_rgb = fused_field_apply(
                 params, x, dirs, cfg.n_blocks,
                 pe=(cfg.multires, cfg.multires_views), pe_masks=pe_masks,
+                warp=warp,
             )
         else:
             emb = positional_encoding(x, cfg.multires, step=step, end_barf=cfg.end_barf)

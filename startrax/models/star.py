@@ -120,6 +120,36 @@ def warp_to_vehicle_frames(pose, pts, viewdirs):
     return pts_dyn, dirs_dyn
 
 
+def _use_kernel_warp(dyn_cfg, pose) -> bool:
+    """In-kernel SE(3) warp applies to shared-pose ([K, 7]) batches on the
+    fused raw-pts path; per-ray mixed-frame poses keep the XLA warp."""
+    import os
+
+    from .fields import _resolve_use_fused
+
+    if os.environ.get("STARTRAX_KERNEL_WARP", "1") != "1":
+        return False
+    return pose.ndim == 2 and dyn_cfg.input_dims == 3 and _resolve_use_fused(dyn_cfg)
+
+
+def pack_warp(pose7):
+    """SE(3) 7-vec -> packed [16] kernel warp (M row-major, t, zero pad)."""
+    M = lie.quat_to_matrix(pose7[3:7])
+    return jnp.concatenate([M.reshape(9), pose7[:3], jnp.zeros(4, pose7.dtype)])
+
+
+def _apply_dynamic_warped(params, cfg, pose, pts, viewdirs, step):
+    """Evaluate K dynamic fields on world pts with per-vehicle in-kernel
+    warps. Returns ([K, R, S], [K, R, S, 3]) matching apply_stacked_fields."""
+    outs = []
+    for k in range(pose.shape[0]):
+        p_k = jax.tree.map(lambda x, k=k: x[k], params)
+        outs.append(
+            apply_field(p_k, cfg, pts, viewdirs, step=step, warp=pack_warp(pose[k]))
+        )
+    return jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs])
+
+
 def apply_star(
     params: Params,
     cfg: StarConfig,
@@ -161,8 +191,18 @@ def apply_star(
     dyn_params = params["dynamic_coarse"] if is_coarse else params["dynamic_fine"]
     dyn_cfg = cfg.dynamic_field(fine=not is_coarse)
 
-    pts_dyn, dirs_dyn = warp_to_vehicle_frames(pose, pts, viewdirs)
-    raw_alpha_d, raw_rgb_d = apply_stacked_fields(dyn_params, dyn_cfg, pts_dyn, dirs_dyn, step=step)
+    if _use_kernel_warp(dyn_cfg, pose):
+        # shared-pose batches on the fused path: the SE(3) warp runs inside
+        # the Pallas kernel (packed [16] SMEM operand) — the [K, R, S, 3]
+        # vehicle-frame point/dir arrays never exist in HBM
+        raw_alpha_d, raw_rgb_d = _apply_dynamic_warped(
+            dyn_params, dyn_cfg, pose, pts, viewdirs, step
+        )
+    else:
+        pts_dyn, dirs_dyn = warp_to_vehicle_frames(pose, pts, viewdirs)
+        raw_alpha_d, raw_rgb_d = apply_stacked_fields(
+            dyn_params, dyn_cfg, pts_dyn, dirs_dyn, step=step
+        )
     raw_alpha_d = jnp.moveaxis(raw_alpha_d, 0, 1)  # [R, K, S]
     raw_rgb_d = jnp.moveaxis(raw_rgb_d, 0, 1)  # [R, K, S, 3]
 

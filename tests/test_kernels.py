@@ -408,3 +408,131 @@ def test_fused_barf_in_kernel_with_saved_acts():
             np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5
         )
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0), atol=1e-5)
+
+
+def _rand_warp(seed=0):
+    """A random rigid warp packed for the kernel ([16]: M row-major, t)."""
+    from startrax.ops import lie
+
+    rng = np.random.default_rng(seed)
+    q = lie.quat_normalize(jnp.asarray(rng.normal(size=4).astype(np.float32)))
+    t = jnp.asarray(rng.normal(size=3).astype(np.float32))
+    M = lie.quat_to_matrix(q)
+    return jnp.concatenate([M.reshape(9), t, jnp.zeros(4, jnp.float32)]), M, t
+
+
+def _eager_warp(x, warp, with_t):
+    """Reference warp using the kernel's exact f32 op order (elementwise
+    row dot + translate), so parity is bitwise-comparable after the
+    frequency-amplifying PE."""
+    x0, x1, x2 = x[:, 0:1], x[:, 1:2], x[:, 2:3]
+    ys = []
+    for r in range(3):
+        y = warp[3 * r] * x0 + warp[3 * r + 1] * x1 + warp[3 * r + 2] * x2
+        if with_t:
+            y = y + warp[9 + r]
+        ys.append(y)
+    return jnp.concatenate(ys, axis=-1)
+
+
+def test_fused_warp_in_kernel_matches_eager():
+    """In-kernel SE(3) warp == warping the inputs before the kernel."""
+    params, pts, dirs, *_ = _setup(seed=11)
+    x = pts.reshape(-1, 3)
+    d = jnp.broadcast_to(dirs[:, None, :], pts.shape).reshape(-1, 3)
+    warp, M, t = _rand_warp(seed=12)
+
+    a_k, r_k = fused_field_apply(
+        params, x, d, CFG.n_blocks, tile=32, interpret=True,
+        pe=(CFG.multires, CFG.multires_views), warp=warp,
+    )
+    a_e, r_e = fused_field_apply(
+        params, _eager_warp(x, warp, True), _eager_warp(d, warp, False),
+        CFG.n_blocks, tile=32, interpret=True,
+        pe=(CFG.multires, CFG.multires_views),
+    )
+    # tolerance is one bf16 ulp at activation scale: a ~1-ulp f32 difference
+    # in the warped coordinate (FMA/association inside vs outside the kernel)
+    # is amplified by the 2^9 top PE frequency and can flip a bf16 rounding
+    # boundary in the MLP — a wrong warp would be off by O(1), not O(0.01)
+    np.testing.assert_allclose(np.asarray(a_k), np.asarray(a_e), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(r_k), np.asarray(r_e), atol=2e-2)
+
+
+@pytest.mark.parametrize("saved", [False, True])
+def test_fused_warp_grads_match_eager(saved):
+    """d loss / d (M, t, inputs, weights) through the in-kernel warp must
+    match differentiating the eager warp through the kernel."""
+    params, pts, dirs, *_ = _setup(seed=13)
+    x = pts.reshape(-1, 3)
+    d = jnp.broadcast_to(dirs[:, None, :], pts.shape).reshape(-1, 3)
+    warp0, M0, t0 = _rand_warp(seed=14)
+
+    def loss_kernel(p, warp, xx):
+        a, r = fused_field_apply(
+            p, xx, d, CFG.n_blocks, tile=32, interpret=True,
+            pe=(CFG.multires, CFG.multires_views), warp=warp, saved_acts=saved,
+        )
+        return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+    def loss_eager(p, warp, xx):
+        a, r = fused_field_apply(
+            p, _eager_warp(xx, warp, True), _eager_warp(d, warp, False),
+            CFG.n_blocks, tile=32,
+            interpret=True, pe=(CFG.multires, CFG.multires_views),
+            saved_acts=saved,
+        )
+        return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+    # bf16 rounding-boundary noise (see test_fused_warp_in_kernel_matches_eager)
+    np.testing.assert_allclose(
+        float(loss_kernel(params, warp0, x)), float(loss_eager(params, warp0, x)),
+        rtol=1e-3,
+    )
+    gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(params, warp0, x)
+    ge = jax.grad(loss_eager, argnums=(0, 1, 2))(params, warp0, x)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(ge)):
+        scale = np.abs(np.asarray(b)).max() + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-2
+        )
+
+
+def test_apply_star_kernel_warp_matches_xla_warp(monkeypatch):
+    """apply_star with the in-kernel warp == the XLA warp_to_vehicle_frames
+    path, in outputs and in pose gradients."""
+    import dataclasses
+
+    from startrax.models import star
+    from startrax.ops import lie
+
+    cfg = star.StarConfig(
+        num_vehicles=2, netdepth=4, netdepth_fine=4, netwidth=32,
+        netwidth_fine=32, n_samples=8, n_importance=0, near=2.0, far=6.0,
+        use_fused=True, compute_dtype=jnp.bfloat16,
+    )
+    params = star.init_star(jax.random.PRNGKey(15), cfg)
+    rng = np.random.default_rng(16)
+    pts = jnp.asarray(rng.normal(size=(4, 8, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+    z_vals = jnp.broadcast_to(jnp.linspace(2.0, 6.0, 8), (4, 8))
+    rays_d = dirs
+    q = lie.quat_normalize(jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32)))
+    pose = jnp.concatenate(
+        [0.1 * jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32)), q], axis=-1
+    )
+
+    def fine_rgb_sum(pose):
+        out = star.apply_star(params, cfg, pts, dirs, z_vals, rays_d, pose=pose)
+        return jnp.sum(out["rgb"]), out["rgb"]
+
+    monkeypatch.setenv("STARTRAX_KERNEL_WARP", "1")
+    (s1, rgb1), g1 = jax.value_and_grad(fine_rgb_sum, has_aux=True)(pose)
+    monkeypatch.setenv("STARTRAX_KERNEL_WARP", "0")
+    (s0, rgb0), g0 = jax.value_and_grad(fine_rgb_sum, has_aux=True)(pose)
+
+    np.testing.assert_allclose(np.asarray(rgb1), np.asarray(rgb0), atol=1e-4)
+    scale = np.abs(np.asarray(g0)).max() + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(g1) / scale, np.asarray(g0) / scale, atol=2e-2
+    )
