@@ -183,6 +183,36 @@ def test_online_step_mixed_frame_batch():
     )
 
 
+def test_online_step_depth_supervision():
+    """DS-NeRF depth supervision in the online step (reference
+    models/loss.py:4-9 + train_online__.py:265): the depth_loss metric is
+    emitted, and depth supervision changes the pose update — depth constrains
+    the vehicles along the ray, which photometric loss alone does not."""
+    params = loop.init_online_params(jax.random.PRNGKey(7), CFG, num_frames=4)
+    tx = optim.make_star_optimizer(
+        params, lrate_static=1e-3, lrate_dynamic=1e-3, lrate_pose=1e-2
+    )
+    opt_state = tx.init(params)
+    b = _batch(64, seed=5)
+    rng = np.random.default_rng(6)
+    b["target_depth"] = jnp.asarray(
+        rng.uniform(CFG.near + 0.5, CFG.far - 0.5, size=(64,)).astype(np.float32)
+    )
+
+    step_plain = loop.make_online_train_step(CFG, loop.LossConfig(), tx)
+    step_depth = loop.make_online_train_step(
+        CFG, loop.LossConfig(use_depth_loss=True, depth_lambda=0.1), tx
+    )
+    p_plain, _, _, _ = step_plain(params, opt_state, b, jax.random.PRNGKey(8),
+                                  jnp.asarray(0))
+    p_depth, _, lossv, metrics = step_depth(params, opt_state, b,
+                                            jax.random.PRNGKey(8), jnp.asarray(0))
+    assert np.isfinite(float(lossv))
+    assert np.isfinite(float(metrics["depth_loss"]))
+    assert float(metrics["depth_loss"]) > 0
+    assert np.abs(np.asarray(p_depth["poses"]) - np.asarray(p_plain["poses"])).max() > 0
+
+
 def test_mixed_frame_pose_matches_shared_pose():
     """A per-ray pose table where all rays share one frame must render
     identically to the shared-pose path."""
