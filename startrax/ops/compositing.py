@@ -10,6 +10,7 @@ axis is vectorized (the reference loops in Python, star__.py:207-210).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import chex
@@ -39,12 +40,49 @@ def _dists_from_z(z_vals, rays_d, far_dist):
     return d * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
 
-def _transmittance(alpha):
-    """T_i = prod_{j<i} (1 - alpha_j + 1e-10) along the last axis."""
+# XLA lowers lax.cumprod on TPU to a log-step shifted-add decomposition whose
+# pad/slice/broadcast glue shows up as measurable fusion time around the
+# Pallas kernels (BENCH_NOTES round-3 trace: pad_add 5.2 ms + slices 3.5 ms +
+# broadcasts 3.6 ms per step). The default transmittance therefore computes
+# the exclusive cumulative product in log space with one strictly-lower-
+# triangular matmul (cumsum-as-matmul rides the MXU; its backward — a reverse
+# exclusive cumsum — is the transposed triangular matmul). Env-gated so the
+# two implementations can be A/B'd: STARTRAX_MATMUL_CUMPROD=0 restores
+# lax.cumprod.
+_MATMUL_CUMPROD = os.environ.get("STARTRAX_MATMUL_CUMPROD", "1") == "1"
+
+
+def _transmittance_cumprod(alpha):
     ones = jnp.ones_like(alpha[..., :1])
     return jnp.cumprod(
         jnp.concatenate([ones, 1.0 - alpha + TRANS_EPS], axis=-1), axis=-1
     )[..., :-1]
+
+
+def _transmittance_matmul(alpha):
+    s = alpha.shape[-1]
+    # tri[i, j] = 1 for j < i: row 0 is empty -> T_0 = exp(0) = 1 exactly.
+    tri = jnp.tril(jnp.ones((s, s), jnp.float32), k=-1)
+    # x must bottom out at exactly eps when alpha == 1. Writing it as
+    # `1.0 - alpha + TRANS_EPS` is NOT safe under jit: XLA's algebraic
+    # simplifier reassociates the two constants, folds 1.0 + 1e-10 to 1.0f,
+    # and the saturated lanes become log(0) = -inf -> 0 * inf = NaN inside
+    # the triangular matmul (jit-only; eager per-op compilation never fuses
+    # the adds). The max() blocks that fold, and its subgradient at the tie
+    # goes to the first operand, so d/dalpha stays -1 like the cumprod path.
+    x = jnp.maximum(1.0 - alpha.astype(jnp.float32), 0.0) + TRANS_EPS
+    logx = jnp.log(x)
+    cs = jnp.einsum(
+        "...s,is->...i", logx, tri, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.exp(cs).astype(alpha.dtype)
+
+
+def _transmittance(alpha):
+    """T_i = prod_{j<i} (1 - alpha_j + 1e-10) along the last axis."""
+    if _MATMUL_CUMPROD:
+        return _transmittance_matmul(alpha)
+    return _transmittance_cumprod(alpha)
 
 
 def raw2outputs(

@@ -234,3 +234,45 @@ def test_compositing_grads_finite():
 
     g = jax.grad(f)(jnp.asarray(raw_alpha))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_transmittance_matmul_matches_cumprod():
+    """The MXU path (log-space triangular matmul, BENCH_NOTES round-3) must
+    match lax.cumprod in value AND gradient, including saturated alphas where
+    1 - alpha bottoms out at the 1e-10 guard."""
+    rng = np.random.default_rng(7)
+    alpha = rng.uniform(0.0, 1.0, size=(6, 32)).astype(np.float32)
+    alpha[0, :4] = 1.0          # fully opaque prefix -> T collapses to ~1e-10^k
+    alpha[1] = 0.0              # fully transparent -> T stays exactly 1
+    alpha[2, 16:] = 1.0 - 1e-7  # near-opaque tail
+    for shape in [(6, 32), (2, 3, 32)]:
+        a = jnp.asarray(alpha[: shape[0]].reshape(shape) if len(shape) == 2
+                        else np.broadcast_to(alpha[:2, None, :], shape))
+        t_ref = compositing._transmittance_cumprod(a)
+        t_mm = compositing._transmittance_matmul(a)
+        np.testing.assert_allclose(np.asarray(t_mm), np.asarray(t_ref),
+                                   rtol=1e-5, atol=1e-7)
+        # jit is the real deployment mode AND a numerics trap: XLA's
+        # algebraic simplifier folds `1 - alpha + eps` to `1 - alpha`,
+        # which turns saturated lanes into log(0) = -inf -> NaN in the
+        # triangular matmul (caught by /verify in round 3).
+        t_jit = jax.jit(compositing._transmittance_matmul)(a)
+        assert not np.any(np.isnan(np.asarray(t_jit)))
+        np.testing.assert_allclose(np.asarray(t_jit), np.asarray(t_ref),
+                                   rtol=1e-5, atol=1e-7)
+
+    # gradients: dT_i/dalpha_j = -T_i / (1 - alpha_j + eps) for j < i
+    a = jnp.asarray(rng.uniform(0.05, 0.95, size=(4, 16)).astype(np.float32))
+    g_ref = jax.grad(lambda x: jnp.sum(jnp.sin(compositing._transmittance_cumprod(x))))(a)
+    g_mm = jax.grad(lambda x: jnp.sum(jnp.sin(compositing._transmittance_matmul(x))))(a)
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_ref), rtol=1e-4, atol=1e-6)
+    g_jit = jax.jit(jax.grad(
+        lambda x: jnp.sum(jnp.sin(compositing._transmittance_matmul(x)))))(a)
+    np.testing.assert_allclose(np.asarray(g_jit), np.asarray(g_ref), rtol=1e-4, atol=1e-6)
+    # saturated alphas must keep jitted grads finite too
+    a_sat = jnp.asarray(alpha[:4])
+    g_sat = jax.jit(jax.grad(
+        lambda x: jnp.sum(compositing._transmittance_matmul(x))))(a_sat)
+    assert np.all(np.isfinite(np.asarray(g_sat)))
+    # row 0 of the exclusive product has no dependence -> exact 1, zero grad
+    np.testing.assert_array_equal(np.asarray(compositing._transmittance_matmul(a))[:, 0], 1.0)
