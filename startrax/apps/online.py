@@ -450,6 +450,10 @@ def train(cfg: Config):
                 "best_score": (best["score"] if best["epoch"] >= 0 else 0.0),
                 "best_epoch": best["epoch"]}
 
+    # DS-NeRF supervision terms, averaged per epoch for the logs (reference
+    # train_online__.py:317-320 logs them per step)
+    aux_losses = {}
+
     def run_phase_epoch(fn, opt_st, epoch, car, ghost, f0, window=None,
                         params_arg=None, mixed=None):
         nonlocal key, step
@@ -461,6 +465,7 @@ def train(cfg: Config):
             crop=epoch < cfg.precrop_iters, car=car, ghost=ghost, f0=f0,
             mixed=cfg.mixed_frames if mixed is None else mixed)
         fines = []
+        aux_losses.clear()
         p = params if params_arg is None else params_arg
         for _ in range(cfg.steps_per_epoch):
             batch = _place_batch(next(prefetcher), mesh)
@@ -469,6 +474,9 @@ def train(cfg: Config):
                                            jnp.asarray(epoch))
             step += 1
             fines.append(metrics["fine_loss"])  # device scalar, no sync
+            for k in ("depth_loss", "sigma_loss"):
+                if k in metrics:
+                    aux_losses.setdefault(k, []).append(metrics[k])
         return p, opt_st, float(np.mean(np.asarray(jnp.stack(fines))))
 
     def run_gauge_epoch(epoch):
@@ -754,6 +762,8 @@ def train(cfg: Config):
             logs = {"train/fine_loss": avg,
                     "train/current_frame_num": cur.current_frame,
                     "epoch": epoch}
+            for k, v in aux_losses.items():
+                logs[f"train/{k}"] = float(np.mean(np.asarray(jnp.stack(v))))
 
             trans_err = rot_err = None
             if has_gt and not cfg.load_gt_poses:

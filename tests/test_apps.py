@@ -231,6 +231,25 @@ def test_online_pose_only_phases(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 
 
+def test_online_app_depth_supervision_logged(tmp_path):
+    """The online app's depth-supervised path end to end: the prefetched
+    synthetic batches carry target_depth, the DS-NeRF depth term is applied
+    (config depth_loss/depth_lambda -> LossConfig), and the per-epoch logs
+    report it (reference train_online__.py:265,317-320). Recipe shipped as
+    configs/synthetic_star_online_depth.txt."""
+    from startrax.apps import online
+
+    cfg = _tiny_synthetic_cfg(
+        tmp_path, epochs_online=2, online_thres=1e-12, noisy_pose_init=True,
+        steps_per_epoch=4, depth_loss=True, depth_lambda=0.01,
+    )
+    online.train(cfg)
+    rows = [json.loads(l)
+            for l in open(tmp_path / "smoke" / "online" / "metrics.jsonl")]
+    dl = [r["train/depth_loss"] for r in rows if "train/depth_loss" in r]
+    assert len(dl) == 2 and all(np.isfinite(v) and v >= 0 for v in dl)
+
+
 def test_online_phase_machine_and_selection(tmp_path):
     """The promoted pose recipe drives the production app through its phase
     machine: fieldform -> barf -> joint curriculum -> block-coordinate polish
