@@ -34,6 +34,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=float, default=30.0)
     ap.add_argument("--out", default="/tmp/startrax_e2e")
+    ap.add_argument("--config", default=CONFIG,
+                    help="base config file (default: synthetic_star_online.txt)")
     ap.add_argument("--appinit_minutes", type=float, default=0.0,
                     help="appearance-init budget (default: min(0.35*minutes, 35))")
     ap.add_argument("--appinit_ckpt", default="",
@@ -65,7 +67,8 @@ def main():
 
     from startrax.utils.config import load_config
 
-    base_argv = ["--config", CONFIG, "--basedir", args.out, "--expname", "e2e"]
+    base_argv = ["--config", args.config, "--basedir", args.out,
+                 "--expname", "e2e"]
     if args.cpu:
         base_argv += ["--mixed_precision", "false"]
 
@@ -180,7 +183,7 @@ def main():
         "selection_mode": cfg2.selection,
         "selection_comparison": sel_cmp,
         "recipe": {
-            "config": CONFIG, "overrides": args.set,
+            "config": args.config, "overrides": args.set,
             "polish_mode": cfg2.polish_mode,
             "ghost_sample_ratio": cfg2.ghost_sample_ratio,
             "frame0_sample_ratio": cfg2.frame0_sample_ratio,

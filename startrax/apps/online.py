@@ -130,22 +130,58 @@ def _loss_plateau(losses, window: int, tol: float) -> bool:
     return last > (1.0 - tol) * prev
 
 
+def _score_frames(cfg: Config, start_frame: int, num_frames: int):
+    """Frames scored by selection/guard: evenly strided subset of the window
+    when selection_frames caps it (cost control at production frame counts)."""
+    frames = list(range(start_frame, num_frames))
+    if 0 < cfg.selection_frames < len(frames):
+        idx = np.linspace(0, len(frames) - 1, cfg.selection_frames)
+        frames = [frames[i] for i in sorted({int(round(i)) for i in idx})]
+    return frames
+
+
+def _depth_mse(pred, gt, near: float, far: float) -> float:
+    """Host-side DS-NeRF relative-squared depth error (ops/losses.depth_loss
+    shape, numpy) over in-volume pixels."""
+    mask = (gt > near) & (gt < far)
+    if not mask.any():
+        return 0.0
+    err = ((pred - gt) / np.where(gt == 0, 1.0, gt)) ** 2
+    return float(err[mask].mean())
+
+
 def selection_score(cfg: Config, star_cfg, params, val_data, num_frames: int,
-                    mesh=None, view: int = 0, keys_stride: int = 1,
+                    mesh=None, view: int = 0,
                     start_frame: int = 0) -> float:
     """GT-free best-epoch criterion: mean MSE of a held-out val view rendered
-    at every frame with the learned poses (frame 0 = identity). Lower is
-    better. Replaces the GT-pose oracle that only the synthetic benchmark
-    has; validated against it in scripts/synthetic_e2e.py."""
+    at every scored frame with the learned poses (frame 0 = identity). Lower
+    is better. Replaces the GT-pose oracle that only the synthetic benchmark
+    has; validated against it in scripts/synthetic_e2e.py.
+
+    selection = "photometric_depth" adds selection_depth_lambda * the
+    relative-squared depth error when the dataset carries depth maps — the
+    canonical-frame drift is flat under the photometric term but not under
+    metric depth. selection_frames / selection_stride subsample the scored
+    frames / pixels (cost control; defaults score everything)."""
+    s = max(cfg.selection_stride, 1)
     rays_o, rays_d = val_data.view_rays(view)
+    rays_o, rays_d = rays_o[::s, ::s], rays_d[::s, ::s]
+    use_depth = (cfg.selection == "photometric_depth"
+                 and getattr(val_data, "depths", None) is not None)
+    keys = ("rgb", "depth") if use_depth else ("rgb",)
     total, count = 0.0, 0
-    for f in range(start_frame, num_frames):
+    for f in _score_frames(cfg, start_frame, num_frames):
         pose = loop.gather_frame_pose(
             jnp.asarray(params["poses"]), jnp.asarray(f), star_cfg.num_vehicles)
         out = render_image(params["nerf"], star_cfg, rays_o, rays_d, pose=pose,
-                           mesh=mesh, keys=("rgb",))
-        target = np.asarray(val_data.images[view, f], np.float32)
-        total += float(np.mean((out["rgb"] - target) ** 2))
+                           mesh=mesh, keys=keys)
+        target = np.asarray(val_data.images[view, f], np.float32)[::s, ::s]
+        score = float(np.mean((out["rgb"] - target) ** 2))
+        if use_depth:
+            gt_d = np.asarray(val_data.depths[view, f], np.float32)[::s, ::s]
+            score += cfg.selection_depth_lambda * _depth_mse(
+                out["depth"], gt_d, star_cfg.near, star_cfg.far)
+        total += score
         count += 1
     return total / max(count, 1)
 
@@ -156,6 +192,7 @@ def selection_score(cfg: Config, star_cfg, params, val_data, num_frames: int,
 # photometric score whenever the reference dynamic fields explain the pixels
 # worse than the static background — "accept by vanishing". Visibility is
 # orthogonal to photometric quality, so the two checks compose.
+# Default for the cfg.gauge_guard_min_vis flag (utils/config.py).
 GAUGE_GUARD_MIN_VIS = 0.3
 
 
@@ -172,18 +209,31 @@ def _gauge_accept(base_score: float, cand_score: float,
 
 def _guard_eval(cfg: Config, star_cfg, params, val_data, num_frames: int,
                 mesh=None, view: int = 0, start_frame: int = 1):
-    """selection_score + per-vehicle held-out visibility mass [K] (mean
-    1 - dynamic transmittance over rays and frames)."""
+    """Held-out photometric error (+ gauge_depth_lambda * depth error when
+    the dataset carries depth) + per-vehicle held-out visibility mass [K]
+    (mean 1 - dynamic transmittance over rays and frames). Honors
+    selection_frames / selection_stride like selection_score."""
+    s = max(cfg.selection_stride, 1)
     rays_o, rays_d = val_data.view_rays(view)
+    rays_o, rays_d = rays_o[::s, ::s], rays_d[::s, ::s]
+    use_depth = (cfg.gauge_depth_lambda > 0
+                 and getattr(val_data, "depths", None) is not None)
+    keys = (("rgb", "depth", "dynamic_transmittance") if use_depth
+            else ("rgb", "dynamic_transmittance"))
     total, count = 0.0, 0
     mass = np.zeros(star_cfg.num_vehicles)
-    for f in range(start_frame, num_frames):
+    for f in _score_frames(cfg, start_frame, num_frames):
         pose = loop.gather_frame_pose(
             jnp.asarray(params["poses"]), jnp.asarray(f), star_cfg.num_vehicles)
         out = render_image(params["nerf"], star_cfg, rays_o, rays_d, pose=pose,
-                           mesh=mesh, keys=("rgb", "dynamic_transmittance"))
-        target = np.asarray(val_data.images[view, f], np.float32)
-        total += float(np.mean((out["rgb"] - target) ** 2))
+                           mesh=mesh, keys=keys)
+        target = np.asarray(val_data.images[view, f], np.float32)[::s, ::s]
+        score = float(np.mean((out["rgb"] - target) ** 2))
+        if use_depth:
+            gt_d = np.asarray(val_data.depths[view, f], np.float32)[::s, ::s]
+            score += cfg.gauge_depth_lambda * _depth_mse(
+                out["depth"], gt_d, star_cfg.near, star_cfg.far)
+        total += score
         mass += np.mean(1.0 - out["dynamic_transmittance"], axis=(0, 1))
         count += 1
     return total / max(count, 1), mass / max(count, 1)
@@ -316,7 +366,8 @@ def train(cfg: Config):
             and not cfg.load_gt_poses):
         tx_gauge = optax.adam(cfg.lrate_pose)
         gauge_step_fn = loop.make_gauge_train_step(
-            star_cfg, tx_gauge, freeze_rot=cfg.gauge_freeze_rot)
+            star_cfg, tx_gauge, freeze_rot=cfg.gauge_freeze_rot,
+            depth_lambda=cfg.gauge_depth_lambda)
 
     cur_cfg = CurriculumConfig(
         num_frames=cfg.num_frames,
@@ -503,6 +554,9 @@ def train(cfg: Config):
             if deadline is not None and time.time() > deadline:
                 stop_reason = "train_minutes budget"
                 break
+            # gauge_fit epochs don't run a phase epoch; without this they
+            # would re-log the previous epoch's aux terms (ADVICE r3)
+            aux_losses.clear()
 
             in_fieldform = epoch < cfg.pose_delay_epochs and opt_state_field is not None
             in_barf = (not in_fieldform and cfg.end_barf > 0
@@ -601,7 +655,8 @@ def train(cfg: Config):
                                 gk[k] = G[k]
                                 sk, mk = _ref_eval(gk)
                                 ok = _gauge_accept(base, sk,
-                                                   base_mass[k], mk[k])
+                                                   base_mass[k], mk[k],
+                                                   min_vis=cfg.gauge_guard_min_vis)
                                 ws.log(f"gauge_align guard: vehicle {k} "
                                        f"held-out {base:.4e} -> {sk:.4e} "
                                        f"vis {base_mass[k]:.4e} -> "

@@ -155,10 +155,16 @@ def run_test_protocol(
             if local_vertices is not None and gt_vehicle is not None and view == cfg.bbox_view:
                 # est vehicle->world(f) = inv(est_rel) @ inv(gt_pose0);
                 # gt vehicle->world(f) = inv(gt_pose_f)
-                # (reference utils/test.py:114-121)
+                # (reference utils/test.py:114-121). Datasets whose canonical
+                # frame IS the vehicle frame (origin-centered, e.g. the
+                # synthetic scene) set bbox_rebase_frame0 = False: there
+                # inv(est_rel) already maps vehicle->world.
                 est_rel_inv = np.asarray(lie.se3_to_matrix(lie.se3_inverse(pose)))
-                gt_pose0_inv = np.linalg.inv(gt_vehicle[:, 0])
-                est_v2w = np.einsum("vki,vij->vkj", est_rel_inv, gt_pose0_inv)
+                if getattr(test_data, "bbox_rebase_frame0", True):
+                    gt_pose0_inv = np.linalg.inv(gt_vehicle[:, 0])
+                    est_v2w = np.einsum("vki,vij->vkj", est_rel_inv, gt_pose0_inv)
+                else:
+                    est_v2w = est_rel_inv
                 gt_v2w = np.linalg.inv(gt_vehicle[:, frame])
                 ious3d, _, _ = iou_mod.compute_3d_iou(est_v2w, gt_v2w, local_vertices)
                 ws.metrics.log(

@@ -293,6 +293,7 @@ class SyntheticAdapter:
             for k in ("images", "depths", "dyn_masks", "rays_o", "rays_d"):
                 self.data[k] = self.data[k][sl]
         self.images = self.data["images"]
+        self.depths = self.data["depths"]  # [V, F, H, W] analytic depth
         self.rays_o = self.data["rays_o"]
         self.rays_d = self.data["rays_d"]
         self.near, self.far = scene.near, scene.far
@@ -392,6 +393,41 @@ class SyntheticAdapter:
 
     def view_rays(self, view: int):
         return self.rays_o[view], self.rays_d[view]
+
+    # the synthetic scene's canonical vehicle frame is origin-centered (the
+    # model pose IS world->vehicle), unlike CARLA where the canonical frame
+    # is the frame-0 placement — the test protocol's bbox math branches on
+    # this (apps/test_protocol.py)
+    bbox_rebase_frame0 = False
+
+    def bbox_local_vertices(self) -> np.ndarray:
+        """[K, 8, 3] canonical-frame bbox corners of the analytic vehicles
+        (counterpart of CarlaScene.bbox_local_vertices): the sigma = 1
+        iso-extent of the super-Gaussian 80 * exp(-q/2),
+        q = sum((p / scales)^4) -> half-extent = scales * (2 ln 80)^(1/4)."""
+        ext = (np.array([0.45, 0.18, 0.22], np.float32)
+               * (2.0 * np.log(80.0)) ** 0.25)
+        corners = np.array(
+            [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+            np.float32)
+        K = self.scene.num_vehicles
+        return np.broadcast_to(corners * ext, (K, 8, 3)).copy()
+
+    def gt_vehicle_poses(self) -> np.ndarray:
+        """[K, F, 4, 4] world->vehicle GT pose matrices (counterpart of
+        CarlaScene.gt_vehicle_poses; here identical to the relative-pose
+        convention since the canonical frame is the vehicle frame)."""
+        from scipy.spatial.transform import Rotation
+
+        K, F = self.scene.num_vehicles, self.scene.num_frames
+        out = np.zeros((K, F, 4, 4), np.float32)
+        for k in range(K):
+            for f in range(F):
+                p = self.scene.gt_relative_pose(f, k)
+                out[k, f, :3, :3] = Rotation.from_quat(p[3:]).as_matrix()
+                out[k, f, :3, 3] = p[:3]
+                out[k, f, 3, 3] = 1.0
+        return out
 
     def gt_relative_poses(self):
         # [K, F, 7] to match CarlaScene's convention

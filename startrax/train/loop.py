@@ -97,13 +97,19 @@ def compute_losses(
             loss = loss + loss_cfg.lambda_dynamic_reg * gate * v
             metrics["dynamic_reg"] = v
 
+    # supervision attaches to the fine outputs when they exist, else the
+    # coarse ("0"-suffixed) ones — N_importance=0 configs only have the
+    # latter (ADVICE r3)
+    suff = "" if has_fine else "0"
     if loss_cfg.use_depth_loss:
-        dl = depth_loss_fn(result["depth"], batch["target_depth"], star_cfg.near, star_cfg.far)
+        dl = depth_loss_fn(result["depth" + suff], batch["target_depth"],
+                           star_cfg.near, star_cfg.far)
         loss = loss + loss_cfg.depth_lambda * dl
         metrics["depth_loss"] = dl
     if loss_cfg.use_sigma_loss:
         sl = sigma_loss_fn(
-            result["weights"], result["z_vals"], result["dists"],
+            result["weights" + suff], result["z_vals" + suff],
+            result["dists" + suff],
             batch["target_depth"], star_cfg.near, star_cfg.far,
         )
         loss = loss + loss_cfg.sigma_lambda * sl
@@ -184,7 +190,8 @@ def make_online_train_step(
     return train_step
 
 
-def make_gauge_train_step(star_cfg: StarConfig, tx, freeze_rot: bool = False):
+def make_gauge_train_step(star_cfg: StarConfig, tx, freeze_rot: bool = False,
+                          depth_lambda: float = 0.0):
     """Shared per-vehicle SE(3) gauge fit (polish_mode = "gauge_align").
 
     At the alternation fixed point the pose residual is dominated by a
@@ -197,6 +204,11 @@ def make_gauge_train_step(star_cfg: StarConfig, tx, freeze_rot: bool = False):
     the one-time-instant reference field's rotation under-constraint from
     leaking into per-frame estimates (the refit_anchor failure mode).
 
+    depth_lambda > 0 adds the DS-NeRF depth term on batches that carry
+    target_depth: the photometric gauge landscape along the canonical-drift
+    direction is FLAT (r3, artifacts/gauge_landscape.json) — captured metric
+    depth is the side information that slopes it toward the true correction.
+
     Returns jittable (gauge, opt_state, nerf, poses, batch, key) -> updated;
     nerf (the reference fields) and poses stay frozen inputs."""
 
@@ -208,8 +220,14 @@ def make_gauge_train_step(star_cfg: StarConfig, tx, freeze_rot: bool = False):
             key=key, pose=pose_c, train=True,
         )
         loss = img2mse(result["rgb0"], batch["target"])
-        if star_cfg.n_importance > 0:
+        has_fine = star_cfg.n_importance > 0
+        if has_fine:
             loss = loss + img2mse(result["rgb"], batch["target"])
+        if depth_lambda > 0 and "target_depth" in batch:
+            dkey = "depth" if has_fine else "depth0"
+            loss = loss + depth_lambda * depth_loss_fn(
+                result[dkey], batch["target_depth"],
+                star_cfg.near, star_cfg.far)
         return loss
 
     @jax.jit

@@ -199,12 +199,33 @@ class Config:
     # it strictly improves the held-out-val-view photometric error against
     # the reference fields (GT-free); a rejected fit ends the gauge rounds
     gauge_guard: bool = True
+    # guard visibility floor: a candidate correction must keep at least this
+    # fraction of the vehicle's held-out opacity mass (rejects
+    # accept-by-vanishing fits — see apps/online._gauge_accept). Scenes with
+    # legitimately small or heavily occluded vehicles may need this lower.
+    gauge_guard_min_vis: float = 0.3
+    # weight of the DS-NeRF depth term in the gauge FIT loss and the gauge
+    # guard's held-out criterion (0 = photometric only). Depth is the side
+    # information that makes the canonical-frame drift observable: the
+    # held-out PHOTOMETRIC landscape along the drift direction is flat
+    # (artifacts/gauge_landscape.json), metric depth is not.
+    gauge_depth_lambda: float = 0.0
 
     # --- best-epoch selection (GT-free by default) ---
     # "photometric": held-out-val-view MSE over all admitted frames (usable
-    # on real data); "gt_pose": GT pose error (synthetic benchmarks only);
-    # "none": keep the final epoch
+    # on real data); "photometric_depth": adds selection_depth_lambda * the
+    # DS-NeRF relative-squared depth error (needs dataset depth maps) —
+    # sensitive along the canonical-drift direction where plain photometric
+    # selection is flat; "gt_pose": GT pose error (synthetic benchmarks
+    # only); "none": keep the final epoch
     selection: str = "photometric"
+    selection_depth_lambda: float = 1.0
+    # selection/guard cost controls at production scale (each post-curriculum
+    # epoch renders the held-out view at every scored frame): score at most
+    # this many frames (evenly strided over the window; 0 = all frames) at
+    # this pixel stride (1 = full resolution)
+    selection_frames: int = 0
+    selection_stride: int = 1
     # end the polish stage after N epochs without a new best score; 0 = off
     selection_patience: int = 40
     # wall-clock training budget in minutes (0 = epochs_online only)

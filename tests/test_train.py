@@ -213,6 +213,61 @@ def test_online_step_depth_supervision():
     assert np.abs(np.asarray(p_depth["poses"]) - np.asarray(p_plain["poses"])).max() > 0
 
 
+def test_depth_and_sigma_supervision_coarse_only():
+    """depth_loss/sigma_loss with N_importance=0 supervise the coarse
+    ("0"-suffixed) outputs instead of raising KeyError on the missing fine
+    keys (ADVICE r3)."""
+    cfg0 = dataclasses.replace(CFG, n_importance=0)
+    params = loop.init_online_params(jax.random.PRNGKey(7), cfg0, num_frames=4)
+    tx = optim.make_star_optimizer(
+        params, lrate_static=1e-3, lrate_dynamic=1e-3, lrate_pose=1e-2
+    )
+    opt_state = tx.init(params)
+    b = _batch(32, seed=5)
+    rng = np.random.default_rng(6)
+    b["target_depth"] = jnp.asarray(
+        rng.uniform(CFG.near + 0.5, CFG.far - 0.5, size=(32,)).astype(np.float32)
+    )
+    step = loop.make_online_train_step(
+        cfg0, loop.LossConfig(use_depth_loss=True, depth_lambda=0.1,
+                              use_sigma_loss=True, sigma_lambda=0.01), tx
+    )
+    _, _, lossv, metrics = step(params, opt_state, b, jax.random.PRNGKey(8),
+                                jnp.asarray(0))
+    assert np.isfinite(float(lossv))
+    assert float(metrics["depth_loss"]) > 0
+    assert np.isfinite(float(metrics["sigma_loss"]))
+
+
+def test_gauge_step_depth_term():
+    """gauge_depth_lambda adds the DS-NeRF depth term to the gauge fit: the
+    step runs with target_depth in the batch and the depth term changes the
+    fitted gauge (the photometric landscape along the drift is flat — depth
+    is the term that slopes it, VERDICT r3 item 1)."""
+    params = loop.init_online_params(jax.random.PRNGKey(8), CFG, num_frames=4)
+    b = _batch(n=32, with_frame=True)
+    rng = np.random.default_rng(9)
+    b["target_depth"] = jnp.asarray(
+        rng.uniform(CFG.near + 0.5, CFG.far - 0.5, size=(32,)).astype(np.float32)
+    )
+    tx = optax.adam(5e-3)
+
+    def run(depth_lambda):
+        gauge = jnp.asarray(lie.se3_identity(CFG.num_vehicles))
+        opt_state = tx.init(gauge)
+        step = loop.make_gauge_train_step(CFG, tx, freeze_rot=True,
+                                          depth_lambda=depth_lambda)
+        for i in range(3):
+            gauge, opt_state, lossv = step(
+                gauge, opt_state, params["nerf"], params["poses"], b,
+                jax.random.PRNGKey(i))
+        assert np.isfinite(float(lossv))
+        return np.asarray(gauge)
+
+    g_plain, g_depth = run(0.0), run(5.0)
+    assert np.abs(g_depth[..., :3] - g_plain[..., :3]).max() > 0
+
+
 def test_mixed_frame_pose_matches_shared_pose():
     """A per-ray pose table where all rays share one frame must render
     identically to the shared-pose path."""
