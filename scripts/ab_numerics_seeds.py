@@ -28,6 +28,15 @@ def main():
     ap.add_argument("--appinit_ckpt", default="",
                     help="shared appearance checkpoint (skips stage 1 in "
                          "every run; the A/B flag only affects training)")
+    ap.add_argument("--thres_scale_refnum", type=float, default=1.0,
+                    help="scale online_thres (and its tightened variant) for "
+                         "the reference_numerics arm: the refnum convention's "
+                         "converged photometric loss runs ~5-10%% above the "
+                         "default convention's on the same scene (measured, "
+                         "artifacts/ab_threshold_calibration_r4.json), so an "
+                         "absolute admission gate calibrated under one "
+                         "convention under-admits the other — compare at "
+                         "equal thresholds in each convention's OWN units")
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -40,6 +49,15 @@ def main():
             cmd = [sys.executable, E2E, "--minutes", str(args.minutes),
                    "--out", run_out, "--set", f"seed={seed}",
                    "--set", f"reference_numerics={ref}"]
+            if ref and args.thres_scale_refnum != 1.0:
+                from startrax.utils.config import load_config
+                base = load_config(["--config", os.path.join(
+                    ROOT, "startrax", "configs", "synthetic_star_online.txt")])
+                cmd += ["--set", ("online_thres="
+                                  f"{base.online_thres * args.thres_scale_refnum}")]
+                if base.online_thres_tightened > 0:
+                    cmd += ["--set", ("online_thres_tightened="
+                                      f"{base.online_thres_tightened * args.thres_scale_refnum}")]
             if args.appinit_ckpt:
                 cmd += ["--appinit_ckpt", args.appinit_ckpt]
             for kv in args.set:

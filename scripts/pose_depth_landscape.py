@@ -48,6 +48,12 @@ def main():
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--probe_batches", type=int, default=8)
     ap.add_argument("--out", default="artifacts/depth_landscape_r4.json")
+    ap.add_argument("--axes", action="store_true",
+                    help="also scan the canonical x/y/z axes (scale 0.1) "
+                         "instead of only the drift direction — measures the "
+                         "axis anisotropy of depth observability (a box "
+                         "translated along its own long axis barely changes "
+                         "the depth map)")
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")
     args = ap.parse_args()
 
@@ -177,6 +183,17 @@ def main():
               "alphas": alphas, "probe_frame0": rows_a,
               "probe_frames_rest": rows_b,
               "elapsed_s": round(time.time() - t0, 1)}
+
+    if args.axes:
+        for ax_i, ax_name in enumerate("xyz"):
+            direction = np.zeros((K, 3), np.float32)
+            direction[:, ax_i] = 0.1
+            print(f"=== axis probe {ax_name} (frame 0, g = alpha * 0.1"
+                  f"{ax_name}) ===", flush=True)
+            result[f"axis_{ax_name}_frame0"] = scan(
+                f"axis-{ax_name}",
+                lambda g, b: probe_frame0(params["nerf"], g, b),
+                batches_f0, direction)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)

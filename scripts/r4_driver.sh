@@ -15,9 +15,13 @@ APPINIT=/tmp/e2e_r3_depth/e2e/app_init/ckpts
 MINUTES=${R4_MINUTES:-170}
 
 echo "[driver] $(date) stage 1: depth e2e run (${MINUTES} min)"
+RESUME_ARGS=(--appinit_ckpt "$APPINIT")
+if [ -n "${R4_RESUME:-}" ]; then
+    RESUME_ARGS=(--resume_from "$R4_RESUME")
+fi
 timeout $(( (MINUTES + 45) * 60 )) nice -n -10 \
     python scripts/synthetic_e2e.py --config "$CFG" --minutes "$MINUTES" \
-    --out "$OUT" --appinit_ckpt "$APPINIT" > /tmp/e2e_r4_depth.log 2>&1
+    --out "$OUT" "${RESUME_ARGS[@]}" > /tmp/e2e_r4_depth.log 2>&1
 RC1=$?
 echo "[driver] $(date) stage 1 done rc=$RC1"
 

@@ -458,6 +458,10 @@ def train(cfg: Config):
     # remain. Like refit's, this sub-state restarts on resume.
     ga = {"stage": "ref_field", "used": 0, "rounds": 0,
           "ref_params": None, "opt": None, "gauge": None, "gauge_opt": None}
+    # photometric multi-start sub-state (multi_start_rounds flag): restarts
+    # on resume like the gauge scratch stages — the procedure is bounded and
+    # its result lives in the adopted poses
+    ms = {"rounds": 0, "pending": False}
     polish_used = 0
     step = 0
     stop_reason = ""
@@ -531,23 +535,80 @@ def train(cfg: Config):
         return p, opt_st, float(np.mean(np.asarray(jnp.stack(fines))))
 
     def run_gauge_epoch(epoch):
-        """One epoch of shared-gauge fitting against the scratch reference
-        fields: frames 1..F-1, per-ray mixed frames (every frame contributes
-        to the single shared G each step), production poses frozen."""
+        """One epoch of shared-gauge fitting. gauge_mode="ref_field": frames
+        1..F-1 against the scratch reference fields, per-ray mixed frames
+        (every frame contributes to the single shared G each step).
+        gauge_mode="frame0": frame-0 rays against the PRODUCTION fields —
+        frame-0's pose is identity, so the rendered pose is G itself and the
+        fit directly estimates the canonical drift (the direction the depth
+        landscape slopes along). Production poses frozen either way."""
         nonlocal key, step
+        frame0 = cfg.gauge_mode == "frame0"
         sample_state.update(
-            start=1, end=cfg.num_frames, crop=False,
+            start=0 if frame0 else 1,
+            end=1 if frame0 else cfg.num_frames, crop=False,
             car=car_pose, ghost=0.0, f0=0.0, mixed=True)
+        nerf = params["nerf"] if frame0 else ga["ref_params"]["nerf"]
         losses = []
         for _ in range(cfg.steps_per_epoch):
             batch = _place_batch(next(prefetcher), mesh)
             key, sub = jax.random.split(key)
             ga["gauge"], ga["gauge_opt"], lossv = gauge_step_fn(
-                ga["gauge"], ga["gauge_opt"], ga["ref_params"]["nerf"],
+                ga["gauge"], ga["gauge_opt"], nerf,
                 params["poses"], batch, sub)
             step += 1
             losses.append(lossv)
         return float(np.mean(np.asarray(jnp.stack(losses))))
+
+    def run_multi_start(epoch):
+        """Basin hopping over the drift subspace (train_online__.py:632-652
+        names no such stage — new capability): per-vehicle constant
+        translation perturbations of the pose table, each given a short
+        pose-only polish with fresh moments, all scored by the GT-free
+        selection criterion; the best strictly-improving candidate is
+        adopted. The perturbation structure matches the measured residual
+        (~94% a constant per-vehicle offset, artifacts/crossview_diag.json).
+        Returns the adopted (or base) score."""
+        nonlocal key, params, opt_state_field, opt_state_polish
+        rng_ms = np.random.default_rng(cfg.seed * 31 + ms["rounds"] * 7 + 5)
+        K = star_cfg.num_vehicles
+        base_score = selection_score(cfg, star_cfg, params, val_data,
+                                     cfg.num_frames, mesh=mesh)
+        best_sc, best_params, best_c = base_score, None, -1
+        for c in range(cfg.multi_start_candidates):
+            g = np.asarray(lie.se3_identity(K)).copy()
+            d = rng_ms.normal(size=(K, 3))
+            d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+            g[:, :3] = cfg.multi_start_scale * d
+            cand = dict(params, poses=lie.se3_multiply(
+                jnp.asarray(g)[None], jnp.asarray(params["poses"])))
+            if mesh is not None:
+                cand = meshlib.replicate_params(cand, mesh)
+            opt_c = tx_polish.init(cand)
+            for _ in range(cfg.multi_start_epochs):
+                # per-ray mixed frames: each candidate's short budget gives
+                # every frame's pose gradient in every step
+                cand, opt_c, _avg = run_phase_epoch(
+                    step_fn_polish, opt_c, epoch, car_pose, 0.0, 0.0,
+                    params_arg=cand, mixed=True)
+            sc = selection_score(cfg, star_cfg, cand, val_data,
+                                 cfg.num_frames, mesh=mesh)
+            ws.log(f"multi_start: candidate {c} |g|="
+                   f"{np.linalg.norm(g[:, :3], axis=-1).round(4).tolist()} "
+                   f"score {sc:.4e} (base {base_score:.4e})")
+            if sc < best_sc:
+                best_sc, best_params, best_c = sc, cand, c
+        if best_params is not None:
+            params = best_params
+            # the pose jump invalidates accumulated moments
+            opt_state_field = tx_field.init(params)
+            opt_state_polish = tx_polish.init(params)
+            ws.log(f"multi_start: adopted candidate {best_c} "
+                   f"({base_score:.4e} -> {best_sc:.4e})")
+        else:
+            ws.log("multi_start: no candidate beat the base "
+                   f"({base_score:.4e})")
+        return best_sc
 
     try:
         for epoch in range(start_epoch, cfg.epochs_online):
@@ -588,7 +649,24 @@ def train(cfg: Config):
                     mode = "alternate" if refit["stage"] == "alternate" else mode
                 if mode == "gauge_align" and ga["stage"] == "alternate":
                     mode = "alternate"
-                if mode == "gauge_align" and ga["stage"] == "ref_field":
+                if (mode == "gauge_align" and ga["stage"] == "ref_field"
+                        and cfg.gauge_mode == "frame0"):
+                    # frame-0 estimator needs no reference fields: jump
+                    # straight to the gauge fit against the production fields
+                    ga.update(stage="gauge", used=0,
+                              gauge=jnp.asarray(lie.se3_identity(
+                                  star_cfg.num_vehicles)))
+                    ga["gauge_opt"] = tx_gauge.init(ga["gauge"])
+                    ws.log(f"gauge_align[frame0]: fitting the frame-0 gauge "
+                           f"(round {ga['rounds']})")
+                if (ms["pending"] and mode == "alternate"
+                        and ms["rounds"] < cfg.multi_start_rounds):
+                    phase = "multi_start"
+                    avg = run_multi_start(epoch)
+                    ms["rounds"] += 1
+                    ms["pending"] = False
+                    alt_phase, alt_losses = "field", []
+                elif mode == "gauge_align" and ga["stage"] == "ref_field":
                     if ga["used"] == 0:
                         # scratch copy: original fields untouched; fresh
                         # dynamic fields fit from frame-0 rays carry zero
@@ -627,10 +705,23 @@ def train(cfg: Config):
                     ga["used"] += 1
                     if ga["used"] >= cfg.gauge_epochs:
                         G = np.asarray(ga["gauge"])  # [K, 7]
+                        if cfg.gauge_mode == "frame0":
+                            # the fitted g places the drifted canonical field
+                            # at frame-0 truth; the pose correction is its
+                            # inverse (g^-1 ∘ est -> GT)
+                            G = np.asarray(lie.se3_inverse(jnp.asarray(G)))
                         accepted = np.array(
                             lie.se3_identity(star_cfg.num_vehicles))
                         n_acc = 0
-                        if cfg.gauge_guard:
+                        if cfg.gauge_mode == "frame0":
+                            # no drift-free reference fields to guard
+                            # against; the best-epoch selection criterion
+                            # (photometric_depth) is the safety net
+                            accepted, n_acc = G, star_cfg.num_vehicles
+                            ws.log("gauge_align[frame0]: applying "
+                                   f"g^-1 t={G[:, :3].round(4).tolist()} "
+                                   "(selection guards)")
+                        elif cfg.gauge_guard:
                             # per-vehicle acceptance on a HELD-OUT view
                             # against the drift-free reference fields: the
                             # r3 run showed the shared fit can land in a
@@ -768,6 +859,10 @@ def train(cfg: Config):
                                 # fields/poses define a new fixed point whose
                                 # residual drift the next gauge fit measures
                                 ga.update(stage="ref_field", used=0)
+                            elif ms["rounds"] < cfg.multi_start_rounds:
+                                # gauge rounds spent (or plain alternate):
+                                # basin-hop from the completed round's optimum
+                                ms["pending"] = True
                 else:  # interleave (round-2 recipe)
                     joint = (polish_used % max(cfg.polish_joint_every, 1)) == 0
                     if joint:

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TILE = 1024
+DEFAULT_TILE = int(__import__("os").environ.get("STARTRAX_FWD_TILE", "1024"))
 # The backward kernel's per-tile fixed costs (weight-grad accumulation into
 # the VMEM-resident f32 blocks, forward recompute staging, in-kernel PE) are
 # amortized over the tile; a larger backward tile halves the number of

@@ -29,8 +29,16 @@ def _abspath(path: str) -> str:
 
 
 def save_checkpoint(path: str, state: Dict[str, Any], step: int) -> str:
-    """Save a pytree state under path/step. Returns the checkpoint dir."""
+    """Save a pytree state under path/step. Returns the checkpoint dir.
+
+    The whole tree is fetched to host with ONE batched jax.device_get before
+    orbax sees it: StandardSave otherwise enqueues a separate device->host
+    transfer per leaf, each paying the tunneled backend's relay round trip
+    (~0.3 s x hundreds of optimizer-state leaves = minutes per save — nearly
+    half the wall-clock of an online run at epoch_val=10). Mirrors the
+    restore-side PyTreeRestore fix."""
     path = _abspath(path)
+    state = jax.device_get(state)
     with ocp.CheckpointManager(path) as mgr:
         mgr.save(step, args=ocp.args.StandardSave(state))
         mgr.wait_until_finished()

@@ -189,6 +189,19 @@ class Config:
     # machinery with fresh optimizer moments. Repeats up to gauge_rounds.
     gauge_rounds: int = 1
     gauge_epochs: int = 2
+    # gauge estimator: "ref_field" fits the gauge over frames 1+ against
+    # fresh frame-0 reference fields (the r3 machinery; its photometric AND
+    # depth landscapes against the blurry one-frame fields measured flat —
+    # guard rejected in both the r3-gauge2 and r4-depth runs). "frame0" fits
+    # the gauge on FRAME-0 rays against the PRODUCTION fields — the direction
+    # the measured landscape actually slopes along
+    # (artifacts/depth_landscape_r4.json probe A: depth decreases toward the
+    # true drift while frame-0 photometric is pinned) — and applies the
+    # INVERSE as the correction (the fitted g places the drifted canonical
+    # field at frame-0 truth, so g^-1 ∘ est approaches GT). No reference
+    # fields, no guard (the held-out guard needs drift-free fields; the
+    # best-epoch selection criterion is the safety net instead).
+    gauge_mode: str = "ref_field"
     # translation-only gauge fit: the r3 gauge run (artifacts/
     # e2e_r3_gauge_history.json epoch 36) showed the full-SE(3) shared fit
     # can still jump to a duplicate photometric mode (v2 trans 0.068 -> 0.40,
@@ -210,6 +223,19 @@ class Config:
     # held-out PHOTOMETRIC landscape along the drift direction is flat
     # (artifacts/gauge_landscape.json), metric depth is not.
     gauge_depth_lambda: float = 0.0
+
+    # --- photometric multi-start (basin hopping over pose perturbations) ---
+    # After an alternation round completes (and any gauge rounds are spent),
+    # perturb the pose table with per-vehicle constant translations of scale
+    # multi_start_scale (the measured drift structure: ~94% a constant
+    # per-vehicle offset, artifacts/crossview_diag.json), give each candidate
+    # multi_start_epochs of pose-only polish, score every candidate with the
+    # GT-free selection criterion, and adopt the best strictly-improving one.
+    # 0 rounds = off (default). Restarts (not resumes) on checkpoint resume.
+    multi_start_rounds: int = 0
+    multi_start_candidates: int = 4
+    multi_start_epochs: int = 2
+    multi_start_scale: float = 0.05
 
     # --- best-epoch selection (GT-free by default) ---
     # "photometric": held-out-val-view MSE over all admitted frames (usable
