@@ -19,6 +19,10 @@ RESUME_ARGS=(--appinit_ckpt "$APPINIT")
 if [ -n "${R4_RESUME:-}" ]; then
     RESUME_ARGS=(--resume_from "$R4_RESUME")
 fi
+# extra --set overrides, space-separated KEY=VALUE pairs
+for kv in ${R4_EXTRA_SET:-}; do
+    RESUME_ARGS+=(--set "$kv")
+done
 timeout $(( (MINUTES + 45) * 60 )) nice -n -10 \
     python scripts/synthetic_e2e.py --config "$CFG" --minutes "$MINUTES" \
     --out "$OUT" "${RESUME_ARGS[@]}" > /tmp/e2e_r4_depth.log 2>&1

@@ -17,17 +17,8 @@ echo "[driver2] $(date) flagship driver done; starting"
 timeout 1800 nice -n -10 python /tmp/verify_r4.py > /tmp/verify_r4b.log 2>&1
 echo "[driver2] $(date) verify rc=$? ($(grep -c 'VERIFY OK' /tmp/verify_r4b.log) ok)"
 
-# frame-0 gauge estimator diagnostic on the r3 depth checkpoint: does
-# fitting the gauge where the depth landscape actually slopes (frame-0 rays,
-# production fields) recover the known drift?
-timeout 1500 nice -n -10 python scripts/pose_frame0_gauge_diag.py \
-    --ckpt /tmp/e2e_r3_depth/e2e/online/ckpts --steps 1200 \
-    > /tmp/f0_gauge_diag.log 2>&1
-echo "[driver2] $(date) frame0 gauge diag rc=$?"
-tail -3 /tmp/f0_gauge_diag.log
-git add artifacts/frame0_gauge_diag_r4.json 2>/dev/null
-git commit -m "r4: frame-0 gauge estimator diagnostic" \
-    artifacts/frame0_gauge_diag_r4.json 2>/dev/null
+# (frame-0 gauge estimator diagnostic ran interactively earlier in the
+# round; artifacts/frame0_gauge_diag_r4*.json already committed)
 
 timeout 2700 nice -n -10 python scripts/synthetic_e2e.py \
     --minutes 22 --out /tmp/ab_r4_seed23_ref \

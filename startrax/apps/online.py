@@ -593,9 +593,16 @@ def train(cfg: Config):
                     params_arg=cand, mixed=True)
             sc = selection_score(cfg, star_cfg, cand, val_data,
                                  cfg.num_frames, mesh=mesh)
+            # residual displacement after the recovery polish: ~0 means the
+            # candidate rolled back into the same basin (attractor radius >=
+            # multi_start_scale — the r4 measured outcome), ~multi_start_scale
+            # means it settled in a genuinely different optimum
+            resid = float(np.abs(np.asarray(cand["poses"])[..., :3]
+                                 - np.asarray(params["poses"])[..., :3]).max())
             ws.log(f"multi_start: candidate {c} |g|="
                    f"{np.linalg.norm(g[:, :3], axis=-1).round(4).tolist()} "
-                   f"score {sc:.4e} (base {base_score:.4e})")
+                   f"score {sc:.4e} (base {base_score:.4e}) "
+                   f"residual_disp {resid:.4f}")
             if sc < best_sc:
                 best_sc, best_params, best_c = sc, cand, c
         if best_params is not None:

@@ -650,6 +650,33 @@ def test_online_app_sharded_matches_unsharded(tmp_path):
                                np.asarray(p_off["poses"]), atol=1e-4)
 
 
+def test_online_test_protocol_end_to_end(tmp_path):
+    """online.test() runs the full protocol from a saved checkpoint on the
+    synthetic dataset: per-frame masked metric rows, RPE/ATE, 2D IoU, the
+    NEW synthetic 3D-IoU path (bbox_rebase_frame0=False), pose trajectory
+    export. This is the exact entry the run drivers' stage 2 invokes."""
+    from startrax.apps import online
+
+    cfg = _tiny_synthetic_cfg(
+        tmp_path, epochs_online=1, online_thres=1e9, initial_num_frames=5,
+        noisy_pose_init=True, steps_per_epoch=2, save_video_frames=False,
+    )
+    online.train(cfg)
+    ckpt_dir = str(tmp_path / "smoke" / "online" / "ckpts")
+    cfg_t = _tiny_synthetic_cfg(
+        tmp_path, test=True, online_ckpt_path=ckpt_dir,
+        save_video_frames=False,
+    )
+    online.test(cfg_t)
+    run_dir = tmp_path / "smoke" / "online_test"
+    rows = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]
+    keys = set().union(*[set(r) for r in rows])
+    for k in ("test/view0_frame_psnr", "test/view0_frame_psnr_dynamic",
+              "test/rpe_trans_0", "test/ate_0", "test/3d_iou_0"):
+        assert k in keys, (k, sorted(keys)[:40])
+    assert (run_dir / "poses_vehicle0.txt").exists()
+
+
 def test_frame_metrics_full_suite(tmp_path):
     """_frame_metrics emits the reference-shaped per-frame metric row
     (train_online__.py:663-725): full/static/dynamic PSNR+SSIM, and the three
