@@ -69,11 +69,14 @@ report = {k: round(float(np.mean(v)), 5) for k, v in sorted(acc.items())}
 print(json.dumps(report, indent=2))
 EOF
 
-ART="artifacts/e2e_r4_depth_summary.json artifacts/e2e_r4_depth_history.json \
-     artifacts/e2e_r4_test_protocol.jsonl artifacts/e2e_r4_test_report.json"
-git add $ART artifacts/r4_*.png artifacts/r4_*.gif artifacts/r4_*.mp4 \
-    artifacts/poses_vehicle*.txt 2>/dev/null
-git commit -m "r4: depth-supervised long run + full test protocol artifacts" \
-    $ART artifacts/r4_*.png artifacts/r4_*.gif artifacts/r4_*.mp4 \
-    artifacts/poses_vehicle*.txt 2>/dev/null
+# add each artifact individually — a single `git add` with one unmatched
+# glob (e.g. no .mp4 when the gif fallback fired) aborts the whole pathspec
+# list and silently skips the commit
+for f in artifacts/e2e_r4_depth_summary.json artifacts/e2e_r4_depth_history.json \
+         artifacts/e2e_r4_test_protocol.jsonl artifacts/e2e_r4_test_report.json \
+         artifacts/r4_*.png artifacts/r4_*.gif artifacts/r4_*.mp4 \
+         artifacts/poses_vehicle*.txt; do
+    [ -e "$f" ] && git add "$f"
+done
+git commit -m "r4: depth-supervised long run + full test protocol artifacts"
 echo "[driver] $(date) DONE rc1=$RC1 rc2=$RC2"

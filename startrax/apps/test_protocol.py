@@ -108,11 +108,17 @@ def run_test_protocol(
         mats = np.asarray(lie.se3_to_matrix(jnp.asarray(est_all[:, k])))
         ckpt.save_poses_txt(os.path.join(ws.run_dir, f"poses_vehicle{k}.txt"), mats)
 
-    # trajectory metrics per vehicle
+    # trajectory metrics per vehicle. Frame 0 is not estimated (the model
+    # pins it): in CARLA's frame-0-relative convention its entry is identity
+    # by definition; in an origin-canonical dataset (bbox_rebase_frame0 =
+    # False, e.g. the synthetic scene) the reference value is the GT frame-0
+    # pose — prepending identity there would charge the entire frame-0 GT
+    # pose (~1.6 scene units) to RPE/ATE as a fake first-frame error.
+    frame0_rebased = getattr(test_data, "bbox_rebase_frame0", True)
     for k in range(num_vehicles):
-        est_traj = np.concatenate(
-            [np.asarray(lie.se3_identity(1, 1))[:, 0], est_all[:, k]]
-        )[:eval_last]
+        frame0 = (np.asarray(lie.se3_identity(1, 1))[:, 0] if frame0_rebased
+                  else gt_rel[:1, k])
+        est_traj = np.concatenate([frame0, est_all[:, k]])[:eval_last]
         gt_traj = gt_rel[:eval_last, k]
         rpe_t, rpe_r = traj_mod.evaluate_rpe(est_traj, gt_traj)
         ate = traj_mod.evaluate_ate(est_traj, gt_traj)
