@@ -329,9 +329,18 @@ def _gt0(x):
     return x.astype(jnp.float32) > 0.0
 
 
-def _bwd_kernel(n_blocks, pe, saved, masked, warped, x_ref, d_ref, *rest):
+def _bwd_kernel(n_blocks, pe, saved, masked, warped, input_grads,
+                x_ref, d_ref, *rest):
     """rest = ([warp_ref,] [mx_ref, md_ref,] *wrefs, g_ref, [*act_refs,]
-    dx_ref, dd_ref, *dwrefs)."""
+    outputs). Outputs: with input_grads, (dx_ref, dd_ref, *dwrefs); without,
+    ([pg_ref if warped,] *dwrefs) — the per-point input grads are never
+    written to HBM (they carry no parameter gradient: rays are batch
+    constants and z samples are stop-gradiented), and the pose-grad
+    reduction G = DX^T X + DD^T D, s = sum DX accumulates in-kernel into a
+    VMEM-resident (8, 128) block (rows 0-2 cols 0-2 = G, row 3 cols 0-2 = s)
+    exactly like the weight grads. Measured r4: the [N, 3] f32 outputs are
+    lane-padded 3 -> 128 in HBM (~43x the logical bytes), so dropping them
+    removes most of the backward's non-matmul HBM traffic."""
     n_w = 2 + 4 * n_blocks + 10
     n_m = 2 if masked else 0
     n_acts = (2 * n_blocks + 4) if saved else 0
@@ -342,9 +351,18 @@ def _bwd_kernel(n_blocks, pe, saved, masked, warped, x_ref, d_ref, *rest):
     wrefs = rest[:n_w]
     g_ref = rest[n_w]
     act_refs = rest[n_w + 1 : n_w + 1 + n_acts]
-    dx_ref = rest[n_w + 1 + n_acts]
-    dd_ref = rest[n_w + 2 + n_acts]
-    dwrefs = rest[n_w + 3 + n_acts :]
+    outs = rest[n_w + 1 + n_acts:]
+    if input_grads:
+        dx_ref, dd_ref = outs[0], outs[1]
+        pg_ref = None
+        dwrefs = outs[2:]
+    elif warped:
+        dx_ref = dd_ref = None
+        pg_ref = outs[0]
+        dwrefs = outs[1:]
+    else:
+        dx_ref = dd_ref = pg_ref = None
+        dwrefs = outs
 
     step = pl.program_id(0)
 
@@ -352,6 +370,8 @@ def _bwd_kernel(n_blocks, pe, saved, masked, warped, x_ref, d_ref, *rest):
     def _():
         for dw in dwrefs:
             dw[...] = jnp.zeros_like(dw)
+        if pg_ref is not None:
+            pg_ref[...] = jnp.zeros_like(pg_ref)
 
     weights = tuple(w[...] for w in wrefs)
     x_in = x_ref[...]
@@ -447,17 +467,28 @@ def _bwd_kernel(n_blocks, pe, saved, masked, warped, x_ref, d_ref, *rest):
             dd_emb = dd_emb * mask_refs[1][...]
         if warped:
             # grads land in the warped frame; rotate back to world (M^T) so
-            # downstream sees d/d world points. Pose grads (dM, dt) are
-            # recovered outside the kernel from these world grads.
+            # the pose-grad reduction sees d/d world points.
             T = x_in.shape[0]
             dxw = _pe_encode128_bwd_c(*xc, dx_emb, T, pe[0])
             ddw = _pe_encode128_bwd_c(*dc, dd_emb, T, pe[1])
-            dx_ref[...] = jnp.concatenate(_unwarp_grad_cols(dxw, warp_ref), axis=-1)
-            dd_ref[...] = jnp.concatenate(_unwarp_grad_cols(ddw, warp_ref), axis=-1)
-        else:
+            dxm = jnp.concatenate(_unwarp_grad_cols(dxw, warp_ref), axis=-1)
+            ddm = jnp.concatenate(_unwarp_grad_cols(ddw, warp_ref), axis=-1)
+            if input_grads:
+                dx_ref[...] = dxm
+                dd_ref[...] = ddm
+            else:
+                # in-kernel pose-grad reduction (same math the VJP rule used
+                # to run over the HBM-roundtripped [N, 3] arrays)
+                G = (_dot(dxm.astype(jnp.float32).T, x_in.astype(jnp.float32))
+                     + _dot(ddm.astype(jnp.float32).T, d_in.astype(jnp.float32)))
+                s = jnp.sum(dxm.astype(jnp.float32), axis=0)
+                top = jnp.concatenate([G, s[None, :]], axis=0)  # [4, 3]
+                pg_ref[...] += jnp.pad(
+                    top, ((0, pg_ref.shape[0] - 4), (0, pg_ref.shape[1] - 3)))
+        elif input_grads:
             dx_ref[...] = _pe_encode128_bwd(x_in, dx_emb, pe[0])
             dd_ref[...] = _pe_encode128_bwd(d_in, dd_emb, pe[1])
-    else:
+    elif input_grads:
         dx_ref[...] = dx_emb
         dd_ref[...] = dd_emb
 
@@ -478,9 +509,10 @@ def _pad_to(x, n_target):
     return jnp.concatenate([x, pad], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
 def _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
-                      warped, x_emb, d_emb, mask_x, mask_d, warp, *weights):
+                      warped, input_grads, x_emb, d_emb, mask_x, mask_d, warp,
+                      *weights):
     return _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
                            masks=(mask_x, mask_d) if masked else None,
                            warp=warp if warped else None)
@@ -581,7 +613,8 @@ def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
 
 
 def _fused_fwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
-                    warped, x_emb, d_emb, mask_x, mask_d, warp, *weights):
+                    warped, input_grads, x_emb, d_emb, mask_x, mask_d, warp,
+                    *weights):
     masks = (mask_x, mask_d) if masked else None
     wp = warp if warped else None
     if saved:
@@ -595,7 +628,7 @@ def _fused_fwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
 
 
 def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
-                    warped, residuals, g):
+                    warped, input_grads, residuals, g):
     x_emb, d_emb, mask_x, mask_d, warp, weights, acts = residuals
     # saved acts are tiled by the forward tile; the backward must match it
     tile = tile if saved else (bwd_tile or tile)
@@ -638,13 +671,27 @@ def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
             for a in acts
         ]
 
-    outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_blocks, pe, saved, masked, warped),
-        out_shape=(
+    if input_grads:
+        pre_shapes = [
             jax.ShapeDtypeStruct((n_pad, x_emb.shape[1]), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, d_emb.shape[1]), jnp.float32),
-            *dw_shapes,
-        ),
+        ]
+        pre_specs = [
+            pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ]
+    elif warped:
+        # in-kernel pose-grad accumulator (see _bwd_kernel docstring)
+        pre_shapes = [jax.ShapeDtypeStruct((8, 128), jnp.float32)]
+        pre_specs = [pl.BlockSpec((8, 128), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+    else:
+        pre_shapes, pre_specs = [], []
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, n_blocks, pe, saved, masked, warped,
+                          input_grads),
+        out_shape=(*pre_shapes, *dw_shapes),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -655,29 +702,38 @@ def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
             pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *act_specs,
         ],
-        out_specs=(
-            pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            *dw_specs,
-        ),
+        out_specs=(*pre_specs, *dw_specs),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, dp, *warp_args, *mask_args, *wk, gp, *act_args)
 
-    dx = outs[0][:n]
-    dd = outs[1][:n]
-    dweights = outs[2:]
+    n_pre = len(pre_shapes)
+    dweights = outs[n_pre:]
     if pe is not None:
         dweights = _unpad_weight_grads(dweights, weights)
+    if input_grads:
+        dx = outs[0][:n]
+        dd = outs[1][:n]
+    else:
+        # rays are batch constants and z samples are stop-gradiented: the
+        # input cotangents are structurally zero wrt every parameter (XLA
+        # folds these constants; the upstream path is dead)
+        dx = jnp.zeros_like(x_emb)
+        dd = jnp.zeros_like(d_emb)
     if warped:
         # Pose grads from the world-frame input grads (dx = M^T dxw):
         # dM = sum_t dxw_t p_t^T = M (DX^T X + DD^T D); dt = M sum_t dx_t.
-        # Two [3, N] x [N, 3] matmuls — no in-kernel accumulation needed.
         M = warp[:9].reshape(3, 3)
-        G = (jnp.einsum("ni,nj->ij", dx, x_emb)
-             + jnp.einsum("ni,nj->ij", dd, d_emb))
+        if input_grads:
+            G = (jnp.einsum("ni,nj->ij", dx, x_emb)
+                 + jnp.einsum("ni,nj->ij", dd, d_emb))
+            ssum = jnp.sum(dx, axis=0)
+        else:
+            pg = outs[0]
+            G = pg[0:3, 0:3]
+            ssum = pg[3, 0:3]
         dM = M @ G
-        dt = M @ jnp.sum(dx, axis=0)
+        dt = M @ ssum
         dwarp = jnp.concatenate(
             [dM.reshape(9), dt, jnp.zeros(4, warp.dtype)]).astype(warp.dtype)
     else:
@@ -702,9 +758,17 @@ def fused_field_apply(
     saved_acts: bool | None = None,
     pe_masks=None,
     warp=None,
+    input_grads: bool = True,
 ):
     """Fused MLP: encoded points [N, in_ch] + encoded dirs [N, view_ch] ->
     (raw_alpha [N], raw_rgb [N, 3]). Differentiable (custom VJP).
+
+    input_grads=False drops the backward's per-point dx/dd HBM outputs
+    (zero cotangents are returned instead) and, for warped fields, runs the
+    pose-grad reduction in-kernel. Safe whenever points/dirs carry no
+    parameter gradient — true for the renderer (rays are batch constants,
+    importance z samples are stop-gradiented); keep True when
+    differentiating through the inputs themselves.
 
     With pe=(multires, multires_views), x_emb/d_emb are RAW [N, 3] points and
     directions and the positional encoding (and its backward) runs inside the
@@ -744,8 +808,8 @@ def fused_field_apply(
         warp = jnp.zeros((16,), jnp.float32)
     flat = flatten_params(params, n_blocks)
     out = _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, saved_acts,
-                            masked, warped, x_emb, d_emb, mask_x, mask_d, warp,
-                            *flat)
+                            masked, warped, bool(input_grads),
+                            x_emb, d_emb, mask_x, mask_d, warp, *flat)
     return out[:, 0], out[:, 1:4]
 
 

@@ -118,8 +118,15 @@ def apply_field(
     step: Optional[jnp.ndarray] = None,
     time: Optional[jnp.ndarray] = None,
     warp=None,
+    input_grads: bool = True,
 ):
     """Evaluate the field on pts [R, S, 3] with per-ray viewdirs [R, 3].
+
+    input_grads=False tells the fused kernel its inputs carry no parameter
+    gradient (static fields; in-kernel-warped dynamic fields, whose pose
+    grads ride the warp cotangent), so the backward skips its per-point
+    dx/dd HBM outputs. Keep True whenever pts/viewdirs are functions of
+    parameters — e.g. the XLA-warp path, where pose grads flow through pts.
 
     warp: optional packed [16] SE(3) (M row-major [0:9], t [9:12]) applied to
     the inputs first — points -> M p + t, dirs -> M d — differentiably. On
@@ -147,11 +154,13 @@ def apply_field(
 
     fused = _resolve_use_fused(cfg)
     if warp is not None and not (fused and x.shape[-1] == 3):
-        # eager warp (exact semantics of the in-kernel path)
+        # eager warp (exact semantics of the in-kernel path); pose grads now
+        # flow through the inputs, so the input cotangents must be kept
         M = warp[:9].reshape(3, 3)
         x = x @ M.T + warp[9:12]
         dirs = dirs @ M.T
         warp = None
+        input_grads = True
 
     if fused:
         from ..kernels.fused_mlp import fused_field_apply, pe_mask_row
@@ -174,14 +183,16 @@ def apply_field(
             raw_alpha, raw_rgb = fused_field_apply(
                 params, x, dirs, cfg.n_blocks,
                 pe=(cfg.multires, cfg.multires_views), pe_masks=pe_masks,
-                warp=warp,
+                warp=warp, input_grads=input_grads,
             )
         else:
             emb = positional_encoding(x, cfg.multires, step=step, end_barf=cfg.end_barf)
             emb_dirs = positional_encoding(
                 dirs, cfg.multires_views, step=step, end_barf=cfg.end_barf
             )
-            raw_alpha, raw_rgb = fused_field_apply(params, emb, emb_dirs, cfg.n_blocks)
+            raw_alpha, raw_rgb = fused_field_apply(
+                params, emb, emb_dirs, cfg.n_blocks,
+                input_grads=input_grads)
         return raw_alpha.reshape(R, S), raw_rgb.reshape(R, S, 3)
 
     emb = positional_encoding(x, cfg.multires, step=step, end_barf=cfg.end_barf)

@@ -145,7 +145,8 @@ def _apply_dynamic_warped(params, cfg, pose, pts, viewdirs, step):
     for k in range(pose.shape[0]):
         p_k = jax.tree.map(lambda x, k=k: x[k], params)
         outs.append(
-            apply_field(p_k, cfg, pts, viewdirs, step=step, warp=pack_warp(pose[k]))
+            apply_field(p_k, cfg, pts, viewdirs, step=step,
+                        warp=pack_warp(pose[k]), input_grads=False)
         )
     return jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs])
 
@@ -171,7 +172,9 @@ def apply_star(
     static_params = params["static_coarse"] if is_coarse else params["static_fine"]
     static_cfg = cfg.static_field(fine=not is_coarse)
 
-    raw_alpha_s, raw_rgb_s = apply_field(static_params, static_cfg, pts, viewdirs, step=None)
+    raw_alpha_s, raw_rgb_s = apply_field(static_params, static_cfg, pts,
+                                         viewdirs, step=None,
+                                         input_grads=False)
 
     noise = None
     if noise_key is not None and cfg.raw_noise_std > 0:

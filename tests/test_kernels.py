@@ -536,3 +536,65 @@ def test_apply_star_kernel_warp_matches_xla_warp(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(g1) / scale, np.asarray(g0) / scale, atol=2e-2
     )
+
+
+@pytest.mark.parametrize("saved", [False, True])
+def test_input_grads_false_parity(saved):
+    """input_grads=False (no per-point dx/dd HBM outputs; in-kernel pose-grad
+    reduction) must produce identical weight AND warp gradients to the full
+    path, and zero input cotangents. This is the renderer's default: rays are
+    batch constants and z samples are stop-gradiented (ops/sampling.py:150),
+    so input grads are structurally dead there."""
+    params, pts, dirs, *_ = _setup(seed=21)
+    x = pts.reshape(-1, 3)
+    d = jnp.broadcast_to(dirs[:, None, :], pts.shape).reshape(-1, 3)
+    warp0, _, _ = _rand_warp(seed=22)
+
+    def loss(p, warp, ig):
+        a, r = fused_field_apply(
+            p, x, d, CFG.n_blocks, tile=32, interpret=True,
+            pe=(CFG.multires, CFG.multires_views), warp=warp,
+            saved_acts=saved, input_grads=ig,
+        )
+        return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+    g_full = jax.grad(loss, argnums=(0, 1))(params, warp0, True)
+    g_fast = jax.grad(loss, argnums=(0, 1))(params, warp0, False)
+    # the pose-grad reduction accumulates per tile instead of one einsum —
+    # summation-order noise on a cancellation-heavy sum; weight grads are
+    # bitwise-identical math and pass far tighter
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_fast)):
+        scale = np.abs(np.asarray(a)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=5e-3)
+
+    # input cotangents are exactly zero on the fast path
+    gx = jax.grad(
+        lambda xx: loss_with_x(params, warp0, xx, saved, False))(x)
+    np.testing.assert_array_equal(np.asarray(gx), 0.0)
+
+    # unwarped (static-field shape): weight grads also match
+    def loss_nw(p, ig):
+        a, r = fused_field_apply(
+            p, x, d, CFG.n_blocks, tile=32, interpret=True,
+            pe=(CFG.multires, CFG.multires_views),
+            saved_acts=saved, input_grads=ig,
+        )
+        return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+    gw_full = jax.grad(loss_nw)(params, True)
+    gw_fast = jax.grad(loss_nw)(params, False)
+    for a, b in zip(jax.tree.leaves(gw_full), jax.tree.leaves(gw_fast)):
+        scale = np.abs(np.asarray(a)).max() + 1e-6
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=1e-6)
+
+
+def loss_with_x(p, warp, xx, saved, ig):
+    d_full = jnp.zeros_like(xx).at[:, 0].set(1.0)
+    a, r = fused_field_apply(
+        p, xx, d_full, CFG.n_blocks, tile=32, interpret=True,
+        pe=(CFG.multires, CFG.multires_views), warp=warp,
+        saved_acts=saved, input_grads=ig,
+    )
+    return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
