@@ -288,7 +288,8 @@ def _act_shapes(n_blocks: int, width: int, n_rows: int):
     return shapes
 
 
-def _fwd_kernel(n_blocks, pe, save, masked, warped, x_ref, d_ref, *rest):
+def _fwd_kernel(n_blocks, pe, save, masked, warped, dstride,
+                x_ref, d_ref, *rest):
     n_w = 2 + 4 * n_blocks + 10
     n_m = 2 if masked else 0
     warp_ref = rest[0] if warped else None
@@ -300,6 +301,8 @@ def _fwd_kernel(n_blocks, pe, save, masked, warped, x_ref, d_ref, *rest):
     weights = tuple(w[...] for w in wrefs)
     x_emb = x_ref[...]
     d_emb = d_ref[...]
+    if dstride is not None:
+        d_emb = _expand_rows(d_emb, dstride, x_emb.shape[0])
     if pe is not None:
         T = x_emb.shape[0]
         if warped:
@@ -329,7 +332,7 @@ def _gt0(x):
     return x.astype(jnp.float32) > 0.0
 
 
-def _bwd_kernel(n_blocks, pe, saved, masked, warped, input_grads,
+def _bwd_kernel(n_blocks, pe, saved, masked, warped, input_grads, dstride,
                 x_ref, d_ref, *rest):
     """rest = ([warp_ref,] [mx_ref, md_ref,] *wrefs, g_ref, [*act_refs,]
     outputs). Outputs: with input_grads, (dx_ref, dd_ref, *dwrefs); without,
@@ -376,6 +379,8 @@ def _bwd_kernel(n_blocks, pe, saved, masked, warped, input_grads,
     weights = tuple(w[...] for w in wrefs)
     x_in = x_ref[...]
     d_in = d_ref[...]
+    if dstride is not None:
+        d_in = _expand_rows(d_in, dstride, x_in.shape[0])
     xc = dc = None
     if pe is not None:
         T = x_in.shape[0]
@@ -509,13 +514,29 @@ def _pad_to(x, n_target):
     return jnp.concatenate([x, pad], axis=0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
+def _expand_rows(d_all, S, T):
+    """Select this tile's per-point dirs from the VMEM-resident per-RAY
+    array: output row t = d_all[program_id * (T // S) + t // S], via a 0/1
+    selector matmul — iota + compare + dot are the Mosaic-safe way to
+    express the gather/repeat. d_all rides a constant-index-map block (like
+    the weights), so it is loaded once for the whole grid."""
+    R = d_all.shape[0]
+    base = pl.program_id(0) * (T // S)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, R), 0) // S + base
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, R), 1)
+    sel = (rows == cols)
+    return jnp.dot(sel.astype(d_all.dtype), d_all,
+                   preferred_element_type=jnp.float32).astype(d_all.dtype)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
 def _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
-                      warped, input_grads, x_emb, d_emb, mask_x, mask_d, warp,
-                      *weights):
+                      warped, input_grads, dstride, x_emb, d_emb, mask_x,
+                      mask_d, warp, *weights):
     return _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
                            masks=(mask_x, mask_d) if masked else None,
-                           warp=warp if warped else None)
+                           warp=warp if warped else None, dstride=dstride)
 
 
 def _pad_rows(w, n_rows):
@@ -558,11 +579,23 @@ def _cast_weights(weights):
 
 
 def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
-                    save_acts: bool = False, masks=None, warp=None):
+                    save_acts: bool = False, masks=None, warp=None,
+                    dstride=None):
     n = x_emb.shape[0]
     n_pad = pl.cdiv(n, tile) * tile
     xp = _pad_to(x_emb, n_pad)
-    dp = _pad_to(d_emb, n_pad)
+    if dstride is None:
+        dp = _pad_to(d_emb, n_pad)
+        d_spec = pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        # d_emb is per-RAY [R, 3], passed as ONE constant-index block (VMEM
+        # resident across the grid like the weights); the kernel selects and
+        # expands each tile's rows — the [N, 3] per-point dirs array (and
+        # its broadcast + layout copies) never exists in HBM
+        dp = _pad_to(d_emb, n_pad // dstride)
+        d_spec = pl.BlockSpec(dp.shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
     grid = (n_pad // tile,)
     wk = _cast_weights(weights)
     if pe is not None:
@@ -593,12 +626,12 @@ def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
                 (tile, shp[1]), lambda i: (i, 0), memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, n_blocks, pe, save_acts,
-                          masks is not None, warp is not None),
+                          masks is not None, warp is not None, dstride),
         out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            d_spec,
             *warp_specs,
             *mask_specs,
             *w_specs,
@@ -613,29 +646,36 @@ def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
 
 
 def _fused_fwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
-                    warped, input_grads, x_emb, d_emb, mask_x, mask_d, warp,
-                    *weights):
+                    warped, input_grads, dstride, x_emb, d_emb, mask_x,
+                    mask_d, warp, *weights):
     masks = (mask_x, mask_d) if masked else None
     wp = warp if warped else None
     if saved:
         out, acts = _fused_fwd_call(n_blocks, tile, interpret, pe,
                                     x_emb, d_emb, weights, save_acts=True,
-                                    masks=masks, warp=wp)
+                                    masks=masks, warp=wp, dstride=dstride)
         return out, (x_emb, d_emb, mask_x, mask_d, warp, weights, acts)
     out = _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
-                          masks=masks, warp=wp)
+                          masks=masks, warp=wp, dstride=dstride)
     return out, (x_emb, d_emb, mask_x, mask_d, warp, weights, None)
 
 
 def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
-                    warped, input_grads, residuals, g):
+                    warped, input_grads, dstride, residuals, g):
     x_emb, d_emb, mask_x, mask_d, warp, weights, acts = residuals
     # saved acts are tiled by the forward tile; the backward must match it
     tile = tile if saved else (bwd_tile or tile)
     n = x_emb.shape[0]
     n_pad = pl.cdiv(n, tile) * tile
     xp = _pad_to(x_emb, n_pad)
-    dp = _pad_to(d_emb, n_pad)
+    if dstride is None:
+        dp = _pad_to(d_emb, n_pad)
+        d_spec = pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        dp = _pad_to(d_emb, n_pad // dstride)
+        d_spec = pl.BlockSpec(dp.shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
     gp = _pad_to(g, n_pad)
     grid = (n_pad // tile,)
     wk = _cast_weights(weights)
@@ -690,12 +730,12 @@ def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
 
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, n_blocks, pe, saved, masked, warped,
-                          input_grads),
+                          input_grads, dstride),
         out_shape=(*pre_shapes, *dw_shapes),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            d_spec,
             *warp_specs,
             *mask_specs,
             *w_specs,
@@ -759,6 +799,7 @@ def fused_field_apply(
     pe_masks=None,
     warp=None,
     input_grads: bool = True,
+    dirs_stride: int | None = None,
 ):
     """Fused MLP: encoded points [N, in_ch] + encoded dirs [N, view_ch] ->
     (raw_alpha [N], raw_rgb [N, 3]). Differentiable (custom VJP).
@@ -806,9 +847,23 @@ def fused_field_apply(
         raise ValueError("warp requires the in-kernel pe mode")
     if not warped:
         warp = jnp.zeros((16,), jnp.float32)
+    if dirs_stride is not None:
+        # d_emb is per-ray [R, 3]; every run of dirs_stride consecutive
+        # points shares one row, expanded in VMEM — the [N, 3] per-point
+        # dirs array never exists in HBM. The input cotangent for dirs is
+        # only implemented in the dropped-input-grads mode.
+        if pe is None:
+            raise ValueError("dirs_stride requires the in-kernel pe mode")
+        if input_grads:
+            raise ValueError("dirs_stride requires input_grads=False")
+        if tile % dirs_stride != 0:
+            raise ValueError(f"tile {tile} not divisible by dirs_stride "
+                             f"{dirs_stride}")
+        if d_emb.shape[0] * dirs_stride != x_emb.shape[0]:
+            raise ValueError("d_emb rows * dirs_stride != points")
     flat = flatten_params(params, n_blocks)
     out = _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, saved_acts,
-                            masked, warped, bool(input_grads),
+                            masked, warped, bool(input_grads), dirs_stride,
                             x_emb, d_emb, mask_x, mask_d, warp, *flat)
     return out[:, 0], out[:, 1:4]
 

@@ -150,10 +150,30 @@ def apply_field(
         t = jnp.broadcast_to(jnp.asarray(time, x.dtype).reshape(-1), (x.shape[0],))
         x = jnp.concatenate([x, t[:, None]], axis=-1)
 
-    dirs = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
-
     fused = _resolve_use_fused(cfg)
-    if warp is not None and not (fused and x.shape[-1] == 3):
+    eager_warp = warp is not None and not (fused and x.shape[-1] == 3)
+    # per-ray dirs expansion in-kernel: measured SLOWER than the broadcast
+    # at the flagship shapes (9,683 vs 9,821 rays/s, r4 — the per-tile
+    # [T, R] selector construction outweighs the saved [N, 3] broadcast);
+    # kept behind an env flag for larger-R workloads where the broadcast
+    # dominates. Exact parity tested (test_dirs_stride_matches_broadcast).
+    import os as _os
+
+    if (fused and x.shape[-1] == 3 and not eager_warp and not input_grads
+            and _os.environ.get("STARTRAX_DIRS_STRIDE") == "1"):
+        from ..kernels.fused_mlp import DEFAULT_TILE
+
+        dirs_stride = S if DEFAULT_TILE % S == 0 else None
+    else:
+        dirs_stride = None
+    if dirs_stride is not None:
+        # per-RAY dirs; the kernel expands rows in VMEM — the [N, 3]
+        # per-point dirs broadcast (and its layout copies) never exists
+        dirs = viewdirs
+    else:
+        dirs = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(-1, 3)
+
+    if eager_warp:
         # eager warp (exact semantics of the in-kernel path); pose grads now
         # flow through the inputs, so the input cotangents must be kept
         M = warp[:9].reshape(3, 3)
@@ -184,6 +204,7 @@ def apply_field(
                 params, x, dirs, cfg.n_blocks,
                 pe=(cfg.multires, cfg.multires_views), pe_masks=pe_masks,
                 warp=warp, input_grads=input_grads,
+                dirs_stride=dirs_stride,
             )
         else:
             emb = positional_encoding(x, cfg.multires, step=step, end_barf=cfg.end_barf)

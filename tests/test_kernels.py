@@ -598,3 +598,36 @@ def loss_with_x(p, warp, xx, saved, ig):
         saved_acts=saved, input_grads=ig,
     )
     return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+
+@pytest.mark.parametrize("saved", [False, True])
+def test_dirs_stride_matches_broadcast(saved):
+    """dirs_stride: per-RAY dirs expanded in VMEM must match the per-point
+    broadcast bitwise (the [N, 3] dirs array never exists in HBM), including
+    through the warp and the in-kernel pose-grad reduction."""
+    params, pts, dirs, *_ = _setup(seed=31)
+    S = pts.shape[1]
+    x = pts.reshape(-1, 3)
+    dfull = jnp.broadcast_to(dirs[:, None, :], pts.shape).reshape(-1, 3)
+    warp0, _, _ = _rand_warp(seed=32)
+
+    def apply(p, warp, use_ds):
+        return fused_field_apply(
+            p, x, dirs if use_ds else dfull, CFG.n_blocks,
+            tile=32, interpret=True, pe=(CFG.multires, CFG.multires_views),
+            warp=warp, saved_acts=saved, input_grads=False,
+            dirs_stride=S if use_ds else None)
+
+    a1, r1 = apply(params, warp0, False)
+    a2, r2 = apply(params, warp0, True)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+
+    def loss(p, warp, use_ds):
+        a, r = apply(p, warp, use_ds)
+        return jnp.sum(jnp.sin(a)) + jnp.sum(r ** 2)
+
+    g1 = jax.grad(loss, argnums=(0, 1))(params, warp0, False)
+    g2 = jax.grad(loss, argnums=(0, 1))(params, warp0, True)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
