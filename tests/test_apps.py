@@ -674,6 +674,11 @@ def test_online_test_protocol_end_to_end(tmp_path):
     for k in ("test/view0_frame_psnr", "test/view0_frame_psnr_dynamic",
               "test/rpe_trans_0", "test/ate_0", "test/3d_iou_0"):
         assert k in keys, (k, sorted(keys)[:40])
+    # frame-0 trajectory convention (origin-canonical dataset): ATE must be
+    # at the pose-noise scale (~0.1), not inflated by the whole frame-0 GT
+    # pose (~1.6) — the bug the bbox_rebase_frame0 branch fixed
+    ates = [r["test/ate_0"] for r in rows if "test/ate_0" in r]
+    assert ates and ates[-1] < 0.4, ates
     assert (run_dir / "poses_vehicle0.txt").exists()
 
 
