@@ -44,19 +44,40 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch on the mesh: per-ray arrays sharded on axis 0,
-    scalars (frame index, ...) replicated."""
+# Batch keys whose leading axis is the ray axis. Sharding is decided by KEY,
+# not by a shape heuristic: a divisibility rule would silently ray-shard any
+# replicated array whose leading dim happens to be divisible by the mesh size
+# (e.g. a [K, ...] or [F, ...] pose/aux table on a same-sized mesh) and
+# produce wrong answers at exactly the scale DP advertises.
+RAY_SHARDED_KEYS = frozenset({
+    "rays_o", "rays_d", "target", "target_depth", "radii", "mask",
+    "frame",  # per-ray frame indices in mixed-frame batches ([N] int32);
+              # scalar frames (ndim 0) are replicated below regardless
+    "viewdirs", "car_mask",
+})
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh,
+                extra_ray_keys=()) -> Dict[str, Any]:
+    """Place a host batch on the mesh: keys in RAY_SHARDED_KEYS (plus
+    extra_ray_keys) are sharded on axis 0, everything else — scalars, pose
+    tables, aux arrays of any shape — is replicated."""
     ray_sh = batch_sharding(mesh)
     rep = replicated(mesh)
+    ray_keys = RAY_SHARDED_KEYS | frozenset(extra_ray_keys)
 
-    def place(x):
+    def place(key, x):
         x = jax.numpy.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % mesh.size == 0 and x.shape[0] > 1:
+        if key in ray_keys and x.ndim >= 1:
+            if x.shape[0] % mesh.size != 0:
+                raise ValueError(
+                    f"batch[{key!r}] leading dim {x.shape[0]} not divisible "
+                    f"by mesh size {mesh.size} (pad with "
+                    f"pad_rays_to_multiple)")
             return jax.device_put(x, ray_sh)
         return jax.device_put(x, rep)
 
-    return jax.tree.map(place, batch)
+    return {k: place(k, v) for k, v in batch.items()}
 
 
 def replicate_params(params, mesh: Mesh):

@@ -45,6 +45,39 @@ def test_shard_batch_layout():
     assert batch["frame"].sharding.is_fully_replicated
 
 
+def test_shard_batch_is_explicit_per_key():
+    """Sharding is decided by KEY, not shape: a poison aux array whose
+    leading dim equals the mesh size must stay replicated (the old
+    divisibility heuristic would silently ray-shard it — VERDICT r4)."""
+    mesh = meshlib.make_mesh()
+    b = _batch(64)
+    b["poses"] = jnp.ones((mesh.size, 7), jnp.float32)  # [8, 7] aux table
+    b["aux_table"] = jnp.ones((2 * mesh.size, 3), jnp.float32)
+    out = meshlib.shard_batch(b, mesh)
+    assert out["poses"].sharding.is_fully_replicated
+    assert out["aux_table"].sharding.is_fully_replicated
+    # per-ray frame indices ARE sharded; scalar frames replicated
+    b2 = _batch(64)
+    b2["frame"] = jnp.zeros((64,), jnp.int32)
+    out2 = meshlib.shard_batch(b2, mesh)
+    assert out2["frame"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P(meshlib.RAY_AXIS)), 1
+    )
+    # a ray key with a non-divisible leading dim is an error, not a silent
+    # replication
+    b3 = _batch(64)
+    b3["rays_o"] = jnp.ones((63, 3), jnp.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        meshlib.shard_batch(b3, mesh)
+    # extra_ray_keys extends the registry
+    b4 = _batch(64)
+    b4["my_weights"] = jnp.ones((64,), jnp.float32)
+    out4 = meshlib.shard_batch(b4, mesh, extra_ray_keys=("my_weights",))
+    assert out4["my_weights"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P(meshlib.RAY_AXIS)), 1
+    )
+
+
 def test_sharded_step_matches_single_device():
     """DP over rays must be semantics-preserving: the sharded train step
     produces the same loss and parameter update as the unsharded one."""
