@@ -117,7 +117,8 @@ def _polish_template():
     return {"polish_used": 0, "alt_phase": 0, "alt_rounds": 0,
             "refit_stage": 0, "refit_used": 0,
             "ga_stage": 0, "ga_used": 0, "ga_rounds": 0,
-            "best_score": 0.0, "best_epoch": -1}
+            "best_score": 0.0, "best_epoch": -1,
+            "bbest_score": 0.0, "bbest_epoch": -1, "n_boundary": 0}
 
 
 def _loss_plateau(losses, window: int, tol: float) -> bool:
@@ -168,7 +169,10 @@ def selection_score(cfg: Config, star_cfg, params, val_data, num_frames: int,
     rays_o, rays_d = rays_o[::s, ::s], rays_d[::s, ::s]
     use_depth = (cfg.selection == "photometric_depth"
                  and getattr(val_data, "depths", None) is not None)
-    keys = ("rgb", "depth") if use_depth else ("rgb",)
+    # N_importance=0 renders only emit "0"-suffixed (coarse) outputs —
+    # mirror the loop.py compute_losses fallback (ADVICE r4)
+    suff = "" if star_cfg.n_importance > 0 else "0"
+    keys = ("rgb" + suff, "depth" + suff) if use_depth else ("rgb" + suff,)
     total, count = 0.0, 0
     for f in _score_frames(cfg, start_frame, num_frames):
         pose = loop.gather_frame_pose(
@@ -176,11 +180,11 @@ def selection_score(cfg: Config, star_cfg, params, val_data, num_frames: int,
         out = render_image(params["nerf"], star_cfg, rays_o, rays_d, pose=pose,
                            mesh=mesh, keys=keys)
         target = np.asarray(val_data.images[view, f], np.float32)[::s, ::s]
-        score = float(np.mean((out["rgb"] - target) ** 2))
+        score = float(np.mean((out["rgb" + suff] - target) ** 2))
         if use_depth:
             gt_d = np.asarray(val_data.depths[view, f], np.float32)[::s, ::s]
             score += cfg.selection_depth_lambda * _depth_mse(
-                out["depth"], gt_d, star_cfg.near, star_cfg.far)
+                out["depth" + suff], gt_d, star_cfg.near, star_cfg.far)
         total += score
         count += 1
     return total / max(count, 1)
@@ -218,8 +222,10 @@ def _guard_eval(cfg: Config, star_cfg, params, val_data, num_frames: int,
     rays_o, rays_d = rays_o[::s, ::s], rays_d[::s, ::s]
     use_depth = (cfg.gauge_depth_lambda > 0
                  and getattr(val_data, "depths", None) is not None)
-    keys = (("rgb", "depth", "dynamic_transmittance") if use_depth
-            else ("rgb", "dynamic_transmittance"))
+    # same "0"-suffix fallback as selection_score for N_importance=0 (ADVICE r4)
+    suff = "" if star_cfg.n_importance > 0 else "0"
+    keys = ((f"rgb{suff}", f"depth{suff}", f"dynamic_transmittance{suff}")
+            if use_depth else (f"rgb{suff}", f"dynamic_transmittance{suff}"))
     total, count = 0.0, 0
     mass = np.zeros(star_cfg.num_vehicles)
     for f in _score_frames(cfg, start_frame, num_frames):
@@ -228,13 +234,13 @@ def _guard_eval(cfg: Config, star_cfg, params, val_data, num_frames: int,
         out = render_image(params["nerf"], star_cfg, rays_o, rays_d, pose=pose,
                            mesh=mesh, keys=keys)
         target = np.asarray(val_data.images[view, f], np.float32)[::s, ::s]
-        score = float(np.mean((out["rgb"] - target) ** 2))
+        score = float(np.mean((out["rgb" + suff] - target) ** 2))
         if use_depth:
             gt_d = np.asarray(val_data.depths[view, f], np.float32)[::s, ::s]
             score += cfg.gauge_depth_lambda * _depth_mse(
-                out["depth"], gt_d, star_cfg.near, star_cfg.far)
+                out["depth" + suff], gt_d, star_cfg.near, star_cfg.far)
         total += score
-        mass += np.mean(1.0 - out["dynamic_transmittance"], axis=(0, 1))
+        mass += np.mean(1.0 - out["dynamic_transmittance" + suff], axis=(0, 1))
         count += 1
     return total / max(count, 1), mass / max(count, 1)
 
@@ -445,7 +451,23 @@ def train(cfg: Config):
     sel_enabled = cfg.selection != "none" and (cfg.selection != "gt_pose" or has_gt)
     best = {"score": float("inf"), "epoch": -1, "params": None,
             "trans": None, "rot": None}
-    best_saved = -1
+    # round-boundary best (selection_boundary_only): the best-scoring epoch
+    # among those that COMPLETE a field+pose alternation round — the settled
+    # states the offline re-judge showed track the GT oracle ~2x closer than
+    # the every-epoch best (artifacts/selection_rejudge_r5.json)
+    bbest = {"score": float("inf"), "epoch": -1, "params": None,
+             "trans": None, "rot": None}
+    n_boundary = 0
+    best_saved = bbest_saved = -1
+
+    def _active_best():
+        """The selection rule that ships: prefer the boundary best once >= 2
+        boundary candidates exist, else the every-epoch best (a single
+        boundary carries no comparison and can sit on a bad state)."""
+        if (cfg.selection_boundary_only and n_boundary >= 2
+                and bbest["epoch"] >= 0):
+            return bbest
+        return best
     history = []
     # alternation sub-state (polish_mode = "alternate")
     alt_phase, alt_losses, alt_rounds = "field", [], 0
@@ -491,6 +513,18 @@ def train(cfg: Config):
                        f"score {best['score']:.3e})")
             except (FileNotFoundError, ValueError):
                 best.update(score=float("inf"), epoch=-1)
+        n_boundary = int(pd.get("n_boundary", 0))
+        if int(pd.get("bbest_epoch", -1)) >= 0:
+            bbest.update(score=float(pd["bbest_score"]),
+                         epoch=int(pd["bbest_epoch"]))
+            try:
+                b = ckpt.restore_checkpoint(cfg.online_ckpt_path + "_bbound",
+                                            {"params": params})
+                bbest["params"] = jax.tree.map(np.asarray, b["params"])
+                ws.log(f"restored boundary-best snapshot (epoch "
+                       f"{bbest['epoch']}, score {bbest['score']:.3e})")
+            except (FileNotFoundError, ValueError):
+                bbest.update(score=float("inf"), epoch=-1)
         ws.log(f"resumed polish sub-state: used={polish_used} "
                f"alt={alt_phase}/{alt_rounds} ga={ga['stage']}/{ga['rounds']}")
 
@@ -503,7 +537,9 @@ def train(cfg: Config):
                 "ga_stage": _GA_STAGES.index(ga["stage"]),
                 "ga_used": ga["used"], "ga_rounds": ga["rounds"],
                 "best_score": (best["score"] if best["epoch"] >= 0 else 0.0),
-                "best_epoch": best["epoch"]}
+                "best_epoch": best["epoch"],
+                "bbest_score": (bbest["score"] if bbest["epoch"] >= 0 else 0.0),
+                "bbest_epoch": bbest["epoch"], "n_boundary": n_boundary}
 
     # DS-NeRF supervision terms, averaged per epoch for the logs (reference
     # train_online__.py:317-320 logs them per step)
@@ -625,6 +661,9 @@ def train(cfg: Config):
             # gauge_fit epochs don't run a phase epoch; without this they
             # would re-log the previous epoch's aux terms (ADVICE r3)
             aux_losses.clear()
+            # set when this epoch COMPLETES a field+pose alternation round
+            # (the settled state the boundary selection protocol scores)
+            round_boundary = False
 
             in_fieldform = epoch < cfg.pose_delay_epochs and opt_state_field is not None
             in_barf = (not in_fieldform and cfg.end_barf > 0
@@ -723,11 +762,30 @@ def train(cfg: Config):
                         if cfg.gauge_mode == "frame0":
                             # no drift-free reference fields to guard
                             # against; the best-epoch selection criterion
-                            # (photometric_depth) is the safety net
-                            accepted, n_acc = G, star_cfg.num_vehicles
-                            ws.log("gauge_align[frame0]: applying "
-                                   f"g^-1 t={G[:, :3].round(4).tolist()} "
-                                   "(selection guards)")
+                            # (photometric_depth) is the safety net — plus a
+                            # per-vehicle magnitude bound so a diverged
+                            # 2-epoch fit cannot jump the whole pose table
+                            # and burn the remaining polish budget on
+                            # recovery (ADVICE r4)
+                            for k in range(star_cfg.num_vehicles):
+                                tnorm = float(np.linalg.norm(G[k, :3]))
+                                ang = 2.0 * float(np.arccos(
+                                    min(1.0, abs(G[k, 6]))))
+                                if (tnorm <= cfg.gauge_max_trans
+                                        and ang <= cfg.gauge_max_rot):
+                                    accepted[k] = G[k]
+                                    n_acc += 1
+                                else:
+                                    ws.log("gauge_align[frame0]: vehicle "
+                                           f"{k} correction |t|={tnorm:.4f} "
+                                           f"rot={ang:.4f} exceeds cap "
+                                           f"({cfg.gauge_max_trans}/"
+                                           f"{cfg.gauge_max_rot}) — rejected")
+                            if n_acc:
+                                ws.log("gauge_align[frame0]: applying "
+                                       f"g^-1 t={accepted[:, :3].round(4).tolist()} "
+                                       f"({n_acc}/{star_cfg.num_vehicles} "
+                                       "within bounds; selection guards)")
                         elif cfg.gauge_guard:
                             # per-vehicle acceptance on a HELD-OUT view
                             # against the drift-free reference fields: the
@@ -860,6 +918,7 @@ def train(cfg: Config):
                                                  cfg.alt_plateau_tol)):
                             alt_phase, alt_losses = "field", []
                             alt_rounds += 1
+                            round_boundary = True
                             if (cfg.polish_mode == "gauge_align"
                                     and ga["rounds"] < cfg.gauge_rounds):
                                 # another gauge round: the re-converged
@@ -946,6 +1005,15 @@ def train(cfg: Config):
                     best.update(score=score, epoch=epoch,
                                 trans=trans_err, rot=rot_err,
                                 params=jax.tree.map(np.asarray, params))
+                if cfg.selection_boundary_only and round_boundary:
+                    n_boundary += 1
+                    row["boundary"] = True
+                    if score < bbest["score"]:
+                        bbest.update(score=score, epoch=epoch,
+                                     trans=trans_err, rot=rot_err,
+                                     params=jax.tree.map(np.asarray, params))
+                        ws.log(f"boundary best: epoch {epoch} "
+                               f"(round {alt_rounds}, score {score:.3e})")
 
             history.append(row)
             ws.metrics.log(logs, step)
@@ -973,6 +1041,11 @@ def train(cfg: Config):
                                          {"params": best["params"]},
                                          step=best["epoch"])
                     best_saved = best["epoch"]
+                if bbest["params"] is not None and bbest["epoch"] > bbest_saved:
+                    ckpt.save_checkpoint(ws.ckpt_dir + "_bbound",
+                                         {"params": bbest["params"]},
+                                         step=bbest["epoch"])
+                    bbest_saved = bbest["epoch"]
                 with open(os.path.join(ws.run_dir, "history.json"), "w") as f:
                     json.dump(history, f)
 
@@ -996,17 +1069,21 @@ def train(cfg: Config):
     if stop_reason:
         ws.log(f"training stopped: {stop_reason}")
 
-    if best["params"] is not None and best["epoch"] >= 0:
+    ab = _active_best()
+    if ab["params"] is not None and ab["epoch"] >= 0:
         # keep the best-selected epoch if the final one is not it
-        final_score = best["score"] + 1.0
+        final_score = ab["score"] + 1.0
         if history and "score" in history[-1]:
             final_score = history[-1]["score"]
-        if best["score"] < final_score:
-            ws.log(f"restoring best-epoch {best['epoch']} snapshot "
-                   f"(score {best['score']:.3e}, {cfg.selection})")
-            params = jax.tree.map(jnp.asarray, best["params"])
-        ckpt.save_checkpoint(ws.ckpt_dir + "_best", {"params": best["params"]},
-                             step=best["epoch"])
+        if ab["score"] < final_score:
+            which = ("boundary" if ab is bbest else "every-epoch")
+            ws.log(f"restoring {which} best-epoch {ab['epoch']} snapshot "
+                   f"(score {ab['score']:.3e}, {cfg.selection}"
+                   + (f", {n_boundary} boundaries" if ab is bbest else "")
+                   + ")")
+            params = jax.tree.map(jnp.asarray, ab["params"])
+        ckpt.save_checkpoint(ws.ckpt_dir + "_best", {"params": ab["params"]},
+                             step=ab["epoch"])
 
     state = {"params": params, "opt_state": opt_state,
              "curriculum": ckpt.curriculum_to_dict(cur),

@@ -453,9 +453,9 @@ def test_online_multi_start_polish(tmp_path):
 def test_online_gauge_frame0_mode(tmp_path):
     """gauge_mode=frame0: the gauge is fitted on frame-0 rays against the
     PRODUCTION fields (no reference-field stage), the INVERSE correction is
-    applied unconditionally, and alternation re-converges. The estimator the
-    measured depth landscape actually supports (probe A,
-    artifacts/depth_landscape_r4.json)."""
+    applied (within the gauge_max_trans/_rot sanity bound), and alternation
+    re-converges. The estimator the measured depth landscape actually
+    supports (probe A, artifacts/depth_landscape_r4.json)."""
     from startrax.apps import online
 
     cfg = _tiny_synthetic_cfg(
@@ -478,6 +478,94 @@ def test_online_gauge_frame0_mode(tmp_path):
     assert "polish_field" in phases  # re-convergence after the correction
     log_text = (run_dir / "run.log").read_text()
     assert "gauge_align[frame0]: applying" in log_text
+    q = np.asarray(params["poses"][..., 3:7])
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
+
+
+def test_online_selection_boundary_only(tmp_path):
+    """selection_boundary_only: the run scores every epoch but the final
+    pick prefers the best alternation-round-boundary epoch once >= 2
+    boundaries exist (VERDICT r4 item 4; offline validation in
+    artifacts/selection_rejudge_r5.json). With 1-epoch field/pose phases and
+    6 polish epochs the run completes >= 2 rounds, so boundary bests are
+    logged and the restored snapshot is the boundary one."""
+    from startrax.apps import online
+
+    cfg = _tiny_synthetic_cfg(
+        tmp_path, epochs_online=12, online_thres=1e9,
+        online_thres_tightened=1e9, initial_num_frames=5,
+        noisy_pose_init=True, steps_per_epoch=4,
+        epochs_between_frames=0,
+        polish_epochs=6, polish_mode="alternate",
+        alt_field_epochs=1, alt_pose_epochs=1,
+        alt_plateau_window=100,
+        selection="photometric", selection_boundary_only=True,
+        selection_patience=0,
+    )
+    params = online.train(cfg)
+    run_dir = tmp_path / "smoke" / "online"
+    log_text = (run_dir / "run.log").read_text()
+    assert "boundary best: epoch" in log_text
+    history = json.loads((run_dir / "history.json").read_text())
+    boundaries = [h for h in history if h.get("boundary")]
+    assert len(boundaries) >= 2, [h.get("phase") for h in history]
+    # every boundary row completes a pose phase
+    assert all(h["phase"] == "polish_pose" for h in boundaries)
+    q = np.asarray(params["poses"][..., 3:7])
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
+
+
+def test_selection_and_guard_coarse_only(tmp_path):
+    """selection_score and _guard_eval with N_importance=0 read the coarse
+    ("0"-suffixed) render outputs instead of raising KeyError — the
+    compute_losses fallback mirrored into the selection path (ADVICE r4)."""
+    import jax
+    from startrax.apps import online
+    from startrax.apps.common import make_dataset
+    from startrax.train import loop
+
+    cfg = _tiny_synthetic_cfg(
+        tmp_path, N_importance=0, num_frames=3,
+        selection="photometric_depth", gauge_depth_lambda=1.0,
+    )
+    star_cfg = config_mod.star_config_from(cfg)
+    assert star_cfg.n_importance == 0
+    val_data = make_dataset(cfg, "val")
+    params = loop.init_online_params(jax.random.PRNGKey(0), star_cfg, 3)
+    score = online.selection_score(cfg, star_cfg, params, val_data, 3)
+    assert np.isfinite(score) and score > 0
+    total, mass = online._guard_eval(cfg, star_cfg, params, val_data, 3)
+    assert np.isfinite(total)
+    assert mass.shape == (star_cfg.num_vehicles,)
+
+
+def test_online_gauge_frame0_cap_rejects(tmp_path):
+    """The frame-0 gauge's per-vehicle magnitude bound (ADVICE r4): with an
+    impossible cap every fitted correction is rejected, the poses are left
+    untouched, and the run falls back to plain alternation instead of
+    jumping the pose table off a diverged fit."""
+    from startrax.apps import online
+
+    cfg = _tiny_synthetic_cfg(
+        tmp_path, epochs_online=9, online_thres=1e9,
+        online_thres_tightened=1e9, initial_num_frames=5,
+        noisy_pose_init=True, steps_per_epoch=4,
+        epochs_between_frames=0,
+        polish_epochs=5, polish_mode="gauge_align", gauge_mode="frame0",
+        gauge_epochs=1, gauge_rounds=1, gauge_depth_lambda=2.0,
+        gauge_max_trans=-1.0,  # |t| <= -1 never holds: force rejection
+        depth_loss=True, depth_lambda=0.1,
+        alt_field_epochs=1, alt_pose_epochs=1,
+        alt_plateau_window=100,
+        selection="photometric_depth", selection_patience=0,
+    )
+    params = online.train(cfg)
+    run_dir = tmp_path / "smoke" / "online"
+    log_text = (run_dir / "run.log").read_text()
+    assert "exceeds cap" in log_text
+    assert "gauge_align[frame0]: applying" not in log_text
+    # rejection falls through to the alternate stage, poses unchanged
+    assert "guard rejected every" in log_text or "alternate" in log_text
     q = np.asarray(params["poses"][..., 3:7])
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 
