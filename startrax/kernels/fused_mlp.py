@@ -288,7 +288,7 @@ def _act_shapes(n_blocks: int, width: int, n_rows: int):
     return shapes
 
 
-def _fwd_kernel(n_blocks, pe, save, masked, warped, dstride,
+def _fwd_kernel(n_blocks, pe, save, masked, warped, dstride, io_t,
                 x_ref, d_ref, *rest):
     n_w = 2 + 4 * n_blocks + 10
     n_m = 2 if masked else 0
@@ -301,6 +301,13 @@ def _fwd_kernel(n_blocks, pe, save, masked, warped, dstride,
     weights = tuple(w[...] for w in wrefs)
     x_emb = x_ref[...]
     d_emb = d_ref[...]
+    if io_t:
+        # channel-leading HBM I/O ([3, N] blocks): the lane-padded [N, 3]
+        # layout costs ~43x its logical bytes per touch (BENCH_NOTES r4);
+        # transpose to the row-major working shape in VMEM (exact, MXU)
+        x_emb = _ct_to_tc(x_emb)
+        if dstride is None:
+            d_emb = _ct_to_tc(d_emb)
     if dstride is not None:
         d_emb = _expand_rows(d_emb, dstride, x_emb.shape[0])
     if pe is not None:
@@ -324,7 +331,8 @@ def _fwd_kernel(n_blocks, pe, save, masked, warped, dstride,
             ref[...] = val
     else:
         alpha, rgb = _forward_math(x_emb, d_emb, weights, n_blocks)
-    out_ref[...] = jnp.concatenate([alpha, rgb], axis=-1)  # [T, 4]
+    v = jnp.concatenate([alpha, rgb], axis=-1)  # [T, 4]
+    out_ref[...] = _t_to_ct(v) if io_t else v   # io_t: [4, T] lane-major
 
 
 def _gt0(x):
@@ -333,7 +341,7 @@ def _gt0(x):
 
 
 def _bwd_kernel(n_blocks, pe, saved, masked, warped, input_grads, dstride,
-                x_ref, d_ref, *rest):
+                io_t, x_ref, d_ref, *rest):
     """rest = ([warp_ref,] [mx_ref, md_ref,] *wrefs, g_ref, [*act_refs,]
     outputs). Outputs: with input_grads, (dx_ref, dd_ref, *dwrefs); without,
     ([pg_ref if warped,] *dwrefs) — the per-point input grads are never
@@ -379,6 +387,10 @@ def _bwd_kernel(n_blocks, pe, saved, masked, warped, input_grads, dstride,
     weights = tuple(w[...] for w in wrefs)
     x_in = x_ref[...]
     d_in = d_ref[...]
+    if io_t:
+        x_in = _ct_to_tc(x_in)
+        if dstride is None:
+            d_in = _ct_to_tc(d_in)
     if dstride is not None:
         d_in = _expand_rows(d_in, dstride, x_in.shape[0])
     xc = dc = None
@@ -413,7 +425,9 @@ def _bwd_kernel(n_blocks, pe, saved, masked, warped, input_grads, dstride,
     W_r, b_r = next(it), next(it)
     width = W_in.shape[1]
 
-    g = g_ref[...]  # [T, 4]
+    g = g_ref[...]  # [T, 4] (io_t: [4, T] transposed to [T, 4] in VMEM)
+    if io_t:
+        g = _ct_to_tc(g)
     dalpha = g[:, 0:1]
     drgb = g[:, 1:4]
 
@@ -514,6 +528,49 @@ def _pad_to(x, n_target):
     return jnp.concatenate([x, pad], axis=0)
 
 
+def _eye128(dtype=jnp.float32):
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ).astype(dtype)
+
+
+def _t_to_ct(v):
+    """[T, C] -> [C, T] for tiny C (Mosaic-safe transpose): contract each
+    128-row chunk against a [128, 128] identity on the MXU (C*T*128 MACs —
+    negligible) and concatenate along lanes. Mosaic has no cheap relayout
+    for small-minor-dim transposes; eye-contractions always lower.
+
+    The identity matmul is exact in f32: every output element is one
+    x * 1.0 product (1.0 splits exactly in the MXU's multi-pass f32) plus
+    zeros, so the transposed kernel I/O is bit-identical to the legacy
+    layout (parity-tested)."""
+    T, C = v.shape
+    eye = _eye128(v.dtype)
+    parts = []
+    for i in range(T // 128):
+        blk = v[128 * i : 128 * (i + 1), :]
+        parts.append(jax.lax.dot_general(
+            blk, eye, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _ct_to_tc(v):
+    """[C, T] -> [T, C] for tiny C; see _t_to_ct."""
+    C, T = v.shape
+    eye = _eye128(v.dtype)
+    parts = []
+    for i in range(T // 128):
+        blk = v[:, 128 * i : 128 * (i + 1)]
+        parts.append(jax.lax.dot_general(
+            eye, blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST))
+    return jnp.concatenate(parts, axis=0)
+
+
 def _expand_rows(d_all, S, T):
     """Select this tile's per-point dirs from the VMEM-resident per-RAY
     array: output row t = d_all[program_id * (T // S) + t // S], via a 0/1
@@ -530,13 +587,14 @@ def _expand_rows(d_all, S, T):
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
 def _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
-                      warped, input_grads, dstride, x_emb, d_emb, mask_x,
-                      mask_d, warp, *weights):
+                      warped, input_grads, dstride, io_t, x_emb, d_emb,
+                      mask_x, mask_d, warp, *weights):
     return _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
                            masks=(mask_x, mask_d) if masked else None,
-                           warp=warp if warped else None, dstride=dstride)
+                           warp=warp if warped else None, dstride=dstride,
+                           io_t=io_t)
 
 
 def _pad_rows(w, n_rows):
@@ -578,16 +636,38 @@ def _cast_weights(weights):
     return tuple(w.astype(jnp.bfloat16) if w.ndim == 2 else w for w in weights)
 
 
+def _pad_cols(x, n_target):
+    n = x.shape[1]
+    if n == n_target:
+        return x
+    pad = jnp.zeros((x.shape[0], n_target - n), x.dtype)
+    return jnp.concatenate([x, pad], axis=1)
+
+
 def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
                     save_acts: bool = False, masks=None, warp=None,
-                    dstride=None):
-    n = x_emb.shape[0]
+                    dstride=None, io_t: bool = False):
+    n = x_emb.shape[1] if io_t else x_emb.shape[0]
     n_pad = pl.cdiv(n, tile) * tile
-    xp = _pad_to(x_emb, n_pad)
-    if dstride is None:
-        dp = _pad_to(d_emb, n_pad)
-        d_spec = pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0),
+    if io_t:
+        # channel-leading I/O: x/d are [3, N] (lane-major, sublane-padded
+        # 3->8 = 2.7x vs the [N, 3] lane padding's 43x), out is [4, N]
+        xp = _pad_cols(x_emb, n_pad)
+        x_spec = pl.BlockSpec((x_emb.shape[0], tile), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
+    else:
+        xp = _pad_to(x_emb, n_pad)
+        x_spec = pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    if dstride is None:
+        if io_t:
+            dp = _pad_cols(d_emb, n_pad)
+            d_spec = pl.BlockSpec((d_emb.shape[0], tile), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)
+        else:
+            dp = _pad_to(d_emb, n_pad)
+            d_spec = pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
     else:
         # d_emb is per-RAY [R, 3], passed as ONE constant-index block (VMEM
         # resident across the grid like the weights); the kernel selects and
@@ -616,8 +696,13 @@ def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
         pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd))
         for w in wk
     ]
-    out_shapes = [jax.ShapeDtypeStruct((n_pad, 4), jnp.float32)]
-    out_specs = [pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    if io_t:
+        out_shapes = [jax.ShapeDtypeStruct((4, n_pad), jnp.float32)]
+        out_specs = [pl.BlockSpec((4, tile), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)]
+    else:
+        out_shapes = [jax.ShapeDtypeStruct((n_pad, 4), jnp.float32)]
+        out_specs = [pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)]
     if save_acts:
         width = weights[0].shape[1]
         for shp in _act_shapes(n_blocks, width, n_pad):
@@ -626,11 +711,11 @@ def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
                 (tile, shp[1]), lambda i: (i, 0), memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, n_blocks, pe, save_acts,
-                          masks is not None, warp is not None, dstride),
+                          masks is not None, warp is not None, dstride, io_t),
         out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            x_spec,
             d_spec,
             *warp_specs,
             *mask_specs,
@@ -640,43 +725,64 @@ def _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xp, dp, *warp_args, *mask_args, *wk)
+    out0 = outs[0][:, :n] if io_t else outs[0][:n]
     if save_acts:
-        return outs[0][:n], outs[1:]  # acts stay padded for the bwd call
-    return outs[0][:n]
+        return out0, outs[1:]  # acts stay padded for the bwd call
+    return out0
 
 
 def _fused_fwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
-                    warped, input_grads, dstride, x_emb, d_emb, mask_x,
+                    warped, input_grads, dstride, io_t, x_emb, d_emb, mask_x,
                     mask_d, warp, *weights):
     masks = (mask_x, mask_d) if masked else None
     wp = warp if warped else None
     if saved:
         out, acts = _fused_fwd_call(n_blocks, tile, interpret, pe,
                                     x_emb, d_emb, weights, save_acts=True,
-                                    masks=masks, warp=wp, dstride=dstride)
+                                    masks=masks, warp=wp, dstride=dstride,
+                                    io_t=io_t)
         return out, (x_emb, d_emb, mask_x, mask_d, warp, weights, acts)
     out = _fused_fwd_call(n_blocks, tile, interpret, pe, x_emb, d_emb, weights,
-                          masks=masks, warp=wp, dstride=dstride)
+                          masks=masks, warp=wp, dstride=dstride, io_t=io_t)
     return out, (x_emb, d_emb, mask_x, mask_d, warp, weights, None)
 
 
 def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
-                    warped, input_grads, dstride, residuals, g):
+                    warped, input_grads, dstride, io_t, residuals, g):
     x_emb, d_emb, mask_x, mask_d, warp, weights, acts = residuals
     # saved acts are tiled by the forward tile; the backward must match it
     tile = tile if saved else (bwd_tile or tile)
-    n = x_emb.shape[0]
+    n = x_emb.shape[1] if io_t else x_emb.shape[0]
     n_pad = pl.cdiv(n, tile) * tile
-    xp = _pad_to(x_emb, n_pad)
-    if dstride is None:
-        dp = _pad_to(d_emb, n_pad)
-        d_spec = pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0),
+    if io_t:
+        xp = _pad_cols(x_emb, n_pad)
+        x_spec = pl.BlockSpec((x_emb.shape[0], tile), lambda i: (0, i),
                               memory_space=pltpu.VMEM)
+    else:
+        xp = _pad_to(x_emb, n_pad)
+        x_spec = pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
+    if dstride is None:
+        if io_t:
+            dp = _pad_cols(d_emb, n_pad)
+            d_spec = pl.BlockSpec((d_emb.shape[0], tile), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)
+        else:
+            dp = _pad_to(d_emb, n_pad)
+            d_spec = pl.BlockSpec((tile, d_emb.shape[1]), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
     else:
         dp = _pad_to(d_emb, n_pad // dstride)
         d_spec = pl.BlockSpec(dp.shape, lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
-    gp = _pad_to(g, n_pad)
+    if io_t:
+        gp = _pad_cols(g, n_pad)
+        g_spec = pl.BlockSpec((4, tile), lambda i: (0, i),
+                              memory_space=pltpu.VMEM)
+    else:
+        gp = _pad_to(g, n_pad)
+        g_spec = pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)
     grid = (n_pad // tile,)
     wk = _cast_weights(weights)
     if pe is not None:
@@ -730,16 +836,16 @@ def _fused_bwd_rule(n_blocks, tile, bwd_tile, interpret, pe, saved, masked,
 
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, n_blocks, pe, saved, masked, warped,
-                          input_grads, dstride),
+                          input_grads, dstride, io_t),
         out_shape=(*pre_shapes, *dw_shapes),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, x_emb.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            x_spec,
             d_spec,
             *warp_specs,
             *mask_specs,
             *w_specs,
-            pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            g_spec,
             *act_specs,
         ],
         out_specs=(*pre_specs, *dw_specs),
@@ -800,9 +906,19 @@ def fused_field_apply(
     warp=None,
     input_grads: bool = True,
     dirs_stride: int | None = None,
+    io_t: bool = False,
 ):
     """Fused MLP: encoded points [N, in_ch] + encoded dirs [N, view_ch] ->
     (raw_alpha [N], raw_rgb [N, 3]). Differentiable (custom VJP).
+
+    io_t=True switches the kernel's HBM interface to channel-leading
+    (transposed) I/O: x/d arrive as [3, N], the result leaves as one [4, N]
+    array (alpha row 0, rgb rows 1:3), and the backward's cotangent arrives
+    [4, N] — so no lane-padded [N, 3/4] f32 array (43x its logical bytes
+    per touch, BENCH_NOTES r4) ever exists in HBM. The transposes run
+    in-kernel as exact identity matmuls (_t_to_ct). Returns
+    (raw_alpha [N], raw_rgb_t [3, N]). Requires the in-kernel pe mode and
+    input_grads=False (the production renderer path).
 
     input_grads=False drops the backward's per-point dx/dd HBM outputs
     (zero cotangents are returned instead) and, for warped fields, runs the
@@ -859,12 +975,30 @@ def fused_field_apply(
         if tile % dirs_stride != 0:
             raise ValueError(f"tile {tile} not divisible by dirs_stride "
                              f"{dirs_stride}")
-        if d_emb.shape[0] * dirs_stride != x_emb.shape[0]:
+        # the backward runs at bwd_tile when saved_acts=False (else the fwd
+        # tile); a non-divisible backward tile would make _expand_rows pick
+        # wrong per-ray dir rows and silently corrupt weight/pose grads
+        bwd_t = tile if saved_acts else bwd_tile
+        if bwd_t % dirs_stride != 0:
+            raise ValueError(f"backward tile {bwd_t} not divisible by "
+                             f"dirs_stride {dirs_stride}")
+        n_points = x_emb.shape[1] if io_t else x_emb.shape[0]
+        if d_emb.shape[0] * dirs_stride != n_points:
             raise ValueError("d_emb rows * dirs_stride != points")
+    if io_t:
+        if pe is None:
+            raise ValueError("io_t requires the in-kernel pe mode")
+        if input_grads:
+            raise ValueError("io_t requires input_grads=False")
+        if tile % 128 != 0 or (not saved_acts and bwd_tile % 128 != 0):
+            raise ValueError("io_t requires 128-divisible tiles "
+                             "(in-kernel transpose chunks)")
     flat = flatten_params(params, n_blocks)
     out = _fused_apply_flat(n_blocks, tile, bwd_tile, interpret, pe, saved_acts,
                             masked, warped, bool(input_grads), dirs_stride,
-                            x_emb, d_emb, mask_x, mask_d, warp, *flat)
+                            io_t, x_emb, d_emb, mask_x, mask_d, warp, *flat)
+    if io_t:
+        return out[0], out[1:4]  # [N], [3, N] — major-dim slices, no padding
     return out[:, 0], out[:, 1:4]
 
 

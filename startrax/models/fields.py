@@ -237,6 +237,54 @@ def apply_field(
     return raw_alpha.reshape(R, S), raw_rgb.reshape(R, S, 3)
 
 
+def apply_field_t(
+    params: Params,
+    cfg: FieldConfig,
+    pts_t,
+    viewdirs_t,
+    step: Optional[jnp.ndarray] = None,
+    warp=None,
+):
+    """Channel-leading apply: pts_t [3, R, S], viewdirs_t [3, R] ->
+    (raw_alpha [R, S], raw_rgb_t [3, R, S]).
+
+    The layout-optimal twin of apply_field for the fused-kernel renderer
+    path (pe mode, input_grads=False): every [*, 3]-minor array between ray
+    generation and compositing is lane-padded 3->128 in HBM (~43x its
+    logical bytes per touch, BENCH_NOTES r4); keeping the channel axis MAJOR
+    end-to-end makes every HBM touch lane-dense. Exact parity with
+    apply_field (the in-kernel transposes are identity matmuls,
+    kernels/fused_mlp._t_to_ct). Callers must fall back to apply_field when
+    _resolve_use_fused is False or inputs are 4-D."""
+    import chex
+
+    chex.assert_rank(pts_t, 3)
+    R, S = pts_t.shape[1], pts_t.shape[2]
+    chex.assert_shape(pts_t, (3, R, S))
+    chex.assert_shape(viewdirs_t, (3, R))
+    if not _resolve_use_fused(cfg):
+        raise ValueError("apply_field_t is fused-kernel only")
+
+    from ..kernels.fused_mlp import fused_field_apply, pe_mask_row
+
+    x = pts_t.reshape(3, R * S)
+    dirs = jnp.broadcast_to(viewdirs_t[:, :, None], (3, R, S)).reshape(3, R * S)
+    pe_masks = None
+    if step is not None and cfg.end_barf > 0:
+        from ..ops.encoding import barf_weights
+
+        wx = barf_weights(step, cfg.end_barf, cfg.multires)
+        wd = barf_weights(step, cfg.end_barf, cfg.multires_views)
+        pe_masks = (pe_mask_row(wx, cfg.multires),
+                    pe_mask_row(wd, cfg.multires_views))
+    raw_alpha, raw_rgb_t = fused_field_apply(
+        params, x, dirs, cfg.n_blocks,
+        pe=(cfg.multires, cfg.multires_views), pe_masks=pe_masks,
+        warp=warp, input_grads=False, io_t=True,
+    )
+    return raw_alpha.reshape(R, S), raw_rgb_t.reshape(3, R, S)
+
+
 def query_density(params: Params, cfg: FieldConfig, pts):
     """Density at world points [N, 3] (post-softplus) — the nerfacc example
     models' query_density API (reference models/nerf.py:199-420), used for

@@ -23,11 +23,17 @@ import jax.numpy as jnp
 
 from ..ops import lie
 from ..ops.compositing import raw2outputs, raw2outputs_star
-from ..ops.sampling import stratified_z_vals, pts_from_z, hierarchical_z_vals
+from ..ops.sampling import (
+    stratified_z_vals,
+    pts_from_z,
+    pts_from_z_t,
+    hierarchical_z_vals,
+)
 from .fields import (
     FieldConfig,
     init_field,
     apply_field,
+    apply_field_t,
     init_stacked_fields,
     apply_stacked_fields,
 )
@@ -151,6 +157,42 @@ def _apply_dynamic_warped(params, cfg, pose, pts, viewdirs, step):
     return jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs])
 
 
+def _apply_dynamic_warped_t(params, cfg, pose, pts_t, viewdirs_t, step):
+    """Channel-leading twin of _apply_dynamic_warped: pts_t [3, R, S],
+    viewdirs_t [3, R] -> ([K, R, S], [K, 3, R, S])."""
+    outs = []
+    for k in range(pose.shape[0]):
+        p_k = jax.tree.map(lambda x, k=k: x[k], params)
+        outs.append(
+            apply_field_t(p_k, cfg, pts_t, viewdirs_t, step=step,
+                          warp=pack_warp(pose[k]))
+        )
+    return jnp.stack([o[0] for o in outs]), jnp.stack([o[1] for o in outs])
+
+
+# Channel-leading (transposed) renderer I/O: points/dirs/rgb travel as
+# [3, ...] arrays end-to-end (ops/sampling.pts_from_z_t -> fused kernel io_t
+# -> compositing rgb_t), so no lane-padded [N, 3/4] f32 array exists in HBM
+# between ray generation and compositing (BENCH_NOTES r4 attributed ~24 ms
+# of the 100.7 ms flagship step to exactly those layouts). Env-gated for
+# A/B: STARTRAX_IO_T=0 restores the legacy layout.
+_IO_T = __import__("os").environ.get("STARTRAX_IO_T", "1") == "1"
+
+
+def _use_io_t(cfg: StarConfig, pose) -> bool:
+    """io_t needs every field eval on the fused raw-pts path: the static
+    field always qualifies when fused; dynamics need the in-kernel warp
+    (shared-pose batches). Mixed-frame (per-ray pose) batches keep the XLA
+    warp and the legacy layout."""
+    from .fields import _resolve_use_fused
+
+    if not _IO_T or not _resolve_use_fused(cfg.static_field()):
+        return False
+    if pose is None:
+        return True
+    return _use_kernel_warp(cfg.dynamic_field(), pose)
+
+
 def apply_star(
     params: Params,
     cfg: StarConfig,
@@ -163,18 +205,27 @@ def apply_star(
     step=None,
     noise_key=None,
     with_test_outputs: bool = False,
+    io_t: bool = False,
 ):
     """One coarse or fine pass (reference star__.py:118-225 forward_chunk).
 
     pose=None is the appearance-init path (static field only); otherwise pose
     is [K, 7] and the static + K dynamic fields composite jointly.
+
+    io_t=True: pts is CHANNEL-LEADING [3, R, S] and viewdirs is [3, R] (the
+    fused kernel's lane-dense layout; see _use_io_t). Output dict shapes are
+    identical either way.
     """
     static_params = params["static_coarse"] if is_coarse else params["static_fine"]
     static_cfg = cfg.static_field(fine=not is_coarse)
 
-    raw_alpha_s, raw_rgb_s = apply_field(static_params, static_cfg, pts,
-                                         viewdirs, step=None,
-                                         input_grads=False)
+    if io_t:
+        raw_alpha_s, raw_rgb_s = apply_field_t(static_params, static_cfg,
+                                               pts, viewdirs, step=None)
+    else:
+        raw_alpha_s, raw_rgb_s = apply_field(static_params, static_cfg, pts,
+                                             viewdirs, step=None,
+                                             input_grads=False)
 
     noise = None
     if noise_key is not None and cfg.raw_noise_std > 0:
@@ -189,25 +240,36 @@ def apply_star(
             noise=noise,
             white_bkgd=cfg.white_bkgd,
             far_dist=cfg.far_dist,
+            rgb_t=io_t,
         )
 
     dyn_params = params["dynamic_coarse"] if is_coarse else params["dynamic_fine"]
     dyn_cfg = cfg.dynamic_field(fine=not is_coarse)
 
-    if _use_kernel_warp(dyn_cfg, pose):
-        # shared-pose batches on the fused path: the SE(3) warp runs inside
-        # the Pallas kernel (packed [16] SMEM operand) — the [K, R, S, 3]
-        # vehicle-frame point/dir arrays never exist in HBM
-        raw_alpha_d, raw_rgb_d = _apply_dynamic_warped(
+    if io_t:
+        # io_t implies the in-kernel warp (see _use_io_t): the SE(3) warp
+        # runs inside the Pallas kernel and every rgb raster stays
+        # channel-leading into compositing
+        raw_alpha_d, raw_rgb_d = _apply_dynamic_warped_t(
             dyn_params, dyn_cfg, pose, pts, viewdirs, step
         )
+        raw_alpha_d = jnp.moveaxis(raw_alpha_d, 0, 1)  # [R, K, S]
+        raw_rgb_d = jnp.moveaxis(raw_rgb_d, 0, 2)  # [K,3,R,S] -> [3,R,K,S]
     else:
-        pts_dyn, dirs_dyn = warp_to_vehicle_frames(pose, pts, viewdirs)
-        raw_alpha_d, raw_rgb_d = apply_stacked_fields(
-            dyn_params, dyn_cfg, pts_dyn, dirs_dyn, step=step
-        )
-    raw_alpha_d = jnp.moveaxis(raw_alpha_d, 0, 1)  # [R, K, S]
-    raw_rgb_d = jnp.moveaxis(raw_rgb_d, 0, 1)  # [R, K, S, 3]
+        if _use_kernel_warp(dyn_cfg, pose):
+            # shared-pose batches on the fused path: the SE(3) warp runs
+            # inside the Pallas kernel (packed [16] SMEM operand) — the
+            # [K, R, S, 3] vehicle-frame point/dir arrays never exist in HBM
+            raw_alpha_d, raw_rgb_d = _apply_dynamic_warped(
+                dyn_params, dyn_cfg, pose, pts, viewdirs, step
+            )
+        else:
+            pts_dyn, dirs_dyn = warp_to_vehicle_frames(pose, pts, viewdirs)
+            raw_alpha_d, raw_rgb_d = apply_stacked_fields(
+                dyn_params, dyn_cfg, pts_dyn, dirs_dyn, step=step
+            )
+        raw_alpha_d = jnp.moveaxis(raw_alpha_d, 0, 1)  # [R, K, S]
+        raw_rgb_d = jnp.moveaxis(raw_rgb_d, 0, 1)  # [R, K, S, 3]
 
     # Density noise is used only during appearance init (star__.py:219-222).
     return raw2outputs_star(
@@ -222,6 +284,7 @@ def apply_star(
         far_dist=cfg.far_dist,
         with_test_outputs=with_test_outputs,
         reference_numerics=cfg.reference_numerics,
+        rgb_t=io_t,
     )
 
 
@@ -268,13 +331,23 @@ def render_star(
         perturb=cfg.perturb if train else 0.0,
     )
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    pts = pts_from_z(rays_o, rays_d, z_vals)
+    io_t = _use_io_t(cfg, pose)
+    if io_t:
+        # channel-leading path: pts/dirs/rgb travel [3, ...] end-to-end —
+        # the only transposes are on tiny [R, 3] ray arrays here and [3, R]
+        # maps in compositing; the big [R, S, 3] rasters never exist
+        pts = pts_from_z_t(rays_o, rays_d, z_vals)
+        viewdirs_in = viewdirs.T
+    else:
+        pts = pts_from_z(rays_o, rays_d, z_vals)
+        viewdirs_in = viewdirs
 
     result_coarse = apply_star(
-        params, cfg, pts, viewdirs, z_vals, rays_d,
+        params, cfg, pts, viewdirs_in, z_vals, rays_d,
         pose=pose, is_coarse=True, step=step,
         noise_key=k_noise if train else None,
         with_test_outputs=with_test_outputs,
+        io_t=io_t,
     )
     result = {f"{k}0": v for k, v in result_coarse.items()}
 
@@ -287,12 +360,13 @@ def render_star(
             det=not train,
             stratified=cfg.stratified_fine,
         )
-        pts_fine = pts_from_z(rays_o, rays_d, z_union)
+        pts_fine = (pts_from_z_t if io_t else pts_from_z)(rays_o, rays_d, z_union)
         result_fine = apply_star(
-            params, cfg, pts_fine, viewdirs, z_union, rays_d,
+            params, cfg, pts_fine, viewdirs_in, z_union, rays_d,
             pose=pose, is_coarse=False, step=step,
             noise_key=k_noise if train else None,
             with_test_outputs=with_test_outputs,
+            io_t=io_t,
         )
         result.update(result_fine)
         result["z_std"] = jnp.std(z_samples, axis=-1)

@@ -93,6 +93,7 @@ def raw2outputs(
     noise: Optional[jnp.ndarray] = None,
     white_bkgd: bool = False,
     far_dist: float = 1e10,
+    rgb_t: bool = False,
 ):
     """Single-field alpha compositing.
 
@@ -100,11 +101,16 @@ def raw2outputs(
     implements the training-time density noise; pass None for eval.
     Returns dict with rgb/disp/acc/weights/depth/dists/z_vals (reference
     rendering__.py:307-379).
+
+    rgb_t=True takes raw_rgb CHANNEL-LEADING [3, R, S] (the fused kernel's
+    io_t layout — lane-dense in HBM, unlike [R, S, 3] whose minor dim is
+    lane-padded 3->128). All map outputs keep their legacy [R, 3] shapes;
+    the only transposes happen on per-RAY maps ([3, R], trivially small).
     """
     # trace-time shape contract (reference models/types__.py enforces the
     # same at runtime with torchtyping+typeguard; chex is free under jit)
     R, S = raw_alpha.shape
-    chex.assert_shape(raw_rgb, (R, S, 3))
+    chex.assert_shape(raw_rgb, (3, R, S) if rgb_t else (R, S, 3))
     chex.assert_shape(z_vals, (R, S))
     chex.assert_shape(rays_d, (R, 3))
     dists = _dists_from_z(z_vals, rays_d, far_dist)
@@ -115,7 +121,10 @@ def raw2outputs(
     alpha = raw2alpha(raw_alpha, dists)
     weights = alpha * _transmittance(alpha)
 
-    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    if rgb_t:
+        rgb_map = jnp.sum(weights[None] * rgb, axis=-1).T  # [3, R] -> [R, 3]
+    else:
+        rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
     depth_map = jnp.sum(weights * z_vals, axis=-1)
     weights_sum = jnp.sum(weights, axis=-1)
     weights_sum = jnp.where(weights_sum >= 0, weights_sum, 1e-7)
@@ -148,11 +157,19 @@ def raw2outputs_star(
     far_dist: float = 1e10,
     with_test_outputs: bool = False,
     reference_numerics: bool = False,
+    rgb_t: bool = False,
 ):
     """STaR multi-field compositing under a joint transmittance.
 
     Shapes: raw_alpha_static [R, S]; raw_rgb_static [R, S, 3];
     raw_alpha_dynamic [R, K, S]; raw_rgb_dynamic [R, K, S, 3].
+
+    rgb_t=True takes the rgb rasters CHANNEL-LEADING — raw_rgb_static
+    [3, R, S], raw_rgb_dynamic [3, R, K, S] (the fused kernel's io_t
+    layout): every big rgb-shaped intermediate then has the sample axis
+    minor (lane-dense in HBM) instead of a lane-padded 3-wide minor. The
+    result dict keeps its legacy shapes (rgb maps [R, 3] / [R, K, 3]);
+    only tiny per-ray maps get transposed.
 
     alpha_total = 1 - exp(-(sigma_s + sum_k sigma_d^k) * dist) with
     sigma = softplus(raw), the shared transmittance T = cumprod(1 -
@@ -174,9 +191,10 @@ def raw2outputs_star(
     # torchtyping+typeguard, models/types__.py; chex asserts are free under jit)
     R, S = raw_alpha_static.shape
     K = raw_alpha_dynamic.shape[1]
-    chex.assert_shape(raw_rgb_static, (R, S, 3))
+    chex.assert_shape(raw_rgb_static, (3, R, S) if rgb_t else (R, S, 3))
     chex.assert_shape(raw_alpha_dynamic, (R, K, S))
-    chex.assert_shape(raw_rgb_dynamic, (R, K, S, 3))
+    chex.assert_shape(raw_rgb_dynamic,
+                      (3, R, K, S) if rgb_t else (R, K, S, 3))
     chex.assert_shape(z_vals, (R, S))
     chex.assert_shape(rays_d, (R, 3))
 
@@ -207,20 +225,37 @@ def raw2outputs_star(
     T_d = _transmittance(alpha_dynamic)  # [R, K, S]
     T = _transmittance(alpha_total)  # [R, S]
 
-    rgb_map = jnp.sum(
-        T[..., None]
-        * (
-            alpha_static[..., None] * rgb_static
-            + jnp.sum(alpha_dynamic[..., None] * rgb_dynamic, axis=1)
-        ),
-        axis=-2,
-    )
+    if rgb_t:
+        # channel axis MAJOR: broadcasting [R, S]/[R, K, S] factors against
+        # [3, R, S]/[3, R, K, S] keeps the lane dim = S everywhere; only the
+        # reduced per-ray maps ([3, R] / [3, R, K]) get transposed
+        rgb_map = jnp.sum(
+            T[None]
+            * (alpha_static[None] * rgb_static
+               + jnp.sum(alpha_dynamic[None] * rgb_dynamic, axis=2)),
+            axis=-1,
+        ).T  # [R, 3]
+        rgb_map_static = jnp.sum(
+            (T_s * alpha_static)[None] * rgb_static, axis=-1).T
+        rgb_map_dynamic = jnp.moveaxis(
+            jnp.sum((T_d * alpha_dynamic)[None] * rgb_dynamic, axis=-1),
+            0, -1)  # [R, K, 3]
+    else:
+        rgb_map = jnp.sum(
+            T[..., None]
+            * (
+                alpha_static[..., None] * rgb_static
+                + jnp.sum(alpha_dynamic[..., None] * rgb_dynamic, axis=1)
+            ),
+            axis=-2,
+        )
 
-    # Per-component maps (visualization / masked metrics)
-    rgb_map_static = jnp.sum(T_s[..., None] * alpha_static[..., None] * rgb_static, axis=-2)
-    rgb_map_dynamic = jnp.sum(
-        T_d[..., None] * alpha_dynamic[..., None] * rgb_dynamic, axis=-2
-    )  # [R, K, 3]
+        # Per-component maps (visualization / masked metrics)
+        rgb_map_static = jnp.sum(
+            T_s[..., None] * alpha_static[..., None] * rgb_static, axis=-2)
+        rgb_map_dynamic = jnp.sum(
+            T_d[..., None] * alpha_dynamic[..., None] * rgb_dynamic, axis=-2
+        )  # [R, K, 3]
     dynamic_weights = T_d * alpha_dynamic
     depth_dynamic = jnp.sum(dynamic_weights * z_vals[:, None, :], axis=-1)  # [R, K]
     static_weights = T_s * alpha_static
@@ -261,9 +296,17 @@ def raw2outputs_star(
         # (reference rendering__.py:534-556, used for dynamic-masked metrics).
         alpha_dynamic_all = 1.0 - jnp.exp(-jnp.sum(sigma_d, axis=1) * dists)
         T_d_all = _transmittance(alpha_dynamic_all)
-        result["rgb_dynamic_all"] = jnp.sum(
-            T_d_all[..., None] * jnp.sum(alpha_dynamic[..., None] * rgb_dynamic, axis=1),
-            axis=-2,
-        )
+        if rgb_t:
+            result["rgb_dynamic_all"] = jnp.sum(
+                T_d_all[None]
+                * jnp.sum(alpha_dynamic[None] * rgb_dynamic, axis=2),
+                axis=-1,
+            ).T
+        else:
+            result["rgb_dynamic_all"] = jnp.sum(
+                T_d_all[..., None]
+                * jnp.sum(alpha_dynamic[..., None] * rgb_dynamic, axis=1),
+                axis=-2,
+            )
 
     return result

@@ -51,6 +51,16 @@ def pts_from_z(rays_o, rays_d, z_vals):
     return rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
 
 
+def pts_from_z_t(rays_o, rays_d, z_vals):
+    """Channel-leading twin of pts_from_z: o + d*z -> [3, R, S].
+
+    Built channel-leading natively (the transposes touch only the tiny
+    [R, 3] ray arrays) so the lane-padded [R, S, 3] points tensor — ~43x
+    its logical HBM bytes per touch — never exists. Feeds the fused
+    kernel's io_t path (kernels/fused_mlp)."""
+    return rays_o.T[:, :, None] + rays_d.T[:, :, None] * z_vals[None]
+
+
 def merge_sorted(a, b):
     """Merge per-row ascending a [..., A] and b [..., B] into one ascending
     [..., A+B] array with a bitonic MERGE — log2(A+B) compare-exchange stages

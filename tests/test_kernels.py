@@ -631,3 +631,79 @@ def test_dirs_stride_matches_broadcast(saved):
     g2 = jax.grad(loss, argnums=(0, 1))(params, warp0, True)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_render_star_io_t_matches_legacy(monkeypatch):
+    """The channel-leading renderer path (pts_from_z_t -> apply_field_t ->
+    rgb_t compositing) must match the legacy layout in every output AND in
+    pose gradients. The in-kernel transposes are exact identity matmuls, so
+    the only tolerance is compositing reduction order."""
+    from startrax.models import star
+    from startrax.ops import lie
+
+    cfg = star.StarConfig(
+        num_vehicles=2, netdepth=4, netdepth_fine=4, netwidth=32,
+        netwidth_fine=32, n_samples=8, n_importance=8, near=2.0, far=6.0,
+        use_fused=True, compute_dtype=jnp.bfloat16,
+    )
+    params = star.init_star(jax.random.PRNGKey(41), cfg)
+    rng = np.random.default_rng(42)
+    rays_o = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+    rays_d = jnp.asarray(
+        (rng.normal(size=(4, 3)) + np.array([0, 0, 2.0])).astype(np.float32))
+    q = lie.quat_normalize(jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32)))
+    pose = jnp.concatenate(
+        [0.1 * jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32)), q], axis=-1
+    )
+
+    def run(pose):
+        out = star.render_star(params, cfg, rays_o, rays_d, key=None,
+                               pose=pose, train=False, with_test_outputs=True)
+        return jnp.sum(out["rgb"]) + jnp.sum(out["rgb0"]), out
+
+    monkeypatch.setattr(star, "_IO_T", True)
+    assert star._use_io_t(cfg, pose)
+    (s1, out1), g1 = jax.value_and_grad(run, has_aux=True)(pose)
+    monkeypatch.setattr(star, "_IO_T", False)
+    assert not star._use_io_t(cfg, pose)
+    (s0, out0), g0 = jax.value_and_grad(run, has_aux=True)(pose)
+
+    assert set(out1.keys()) == set(out0.keys())
+    for k in sorted(out0):
+        a, b = np.asarray(out1[k]), np.asarray(out0[k])
+        assert a.shape == b.shape, k
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=k)
+    scale = np.abs(np.asarray(g0)).max() + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(g1) / scale, np.asarray(g0) / scale, atol=1e-4
+    )
+
+
+def test_render_star_io_t_appinit_matches_legacy(monkeypatch):
+    """io_t parity on the appearance-init (pose=None, single-field) path."""
+    from startrax.models import star
+
+    cfg = star.StarConfig(
+        num_vehicles=1, netdepth=4, netdepth_fine=4, netwidth=32,
+        netwidth_fine=32, n_samples=8, n_importance=8, near=2.0, far=6.0,
+        use_fused=True, compute_dtype=jnp.bfloat16,
+    )
+    params = star.init_star(jax.random.PRNGKey(43), cfg)
+    rng = np.random.default_rng(44)
+    rays_o = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+    rays_d = jnp.asarray(
+        (rng.normal(size=(4, 3)) + np.array([0, 0, 2.0])).astype(np.float32))
+
+    def run(params):
+        out = star.render_star(params, cfg, rays_o, rays_d, key=None,
+                               pose=None, train=False)
+        return jnp.sum(out["rgb"]), out
+
+    monkeypatch.setattr(star, "_IO_T", True)
+    (s1, out1) = run(params)
+    monkeypatch.setattr(star, "_IO_T", False)
+    (s0, out0) = run(params)
+    assert set(out1.keys()) == set(out0.keys())
+    for k in sorted(out0):
+        np.testing.assert_allclose(
+            np.asarray(out1[k]), np.asarray(out0[k]), atol=1e-5, err_msg=k)
