@@ -13,6 +13,7 @@ Usage: python -m startrax.apps.occgrid_init --config startrax/configs/carla_star
 from __future__ import annotations
 
 import dataclasses
+import time
 
 import jax
 import jax.numpy as jnp
@@ -120,9 +121,14 @@ def train(cfg: Config):
     prefetcher = BatchPrefetcher(sample_fn, {}, seed=cfg.seed * 7919 + 6,
                                  depth=6, workers=max(cfg.num_workers, 1))
 
+    deadline = (time.time() + cfg.train_minutes * 60
+                if cfg.train_minutes > 0 else None)
     step = 0
     try:
         for epoch in range(cfg.epochs_appearance):
+            if deadline is not None and time.time() > deadline:
+                ws.log("train_minutes budget exhausted; stopping")
+                break
             fine_losses, dropped = [], []
             for _ in range(cfg.steps_per_epoch):
                 if step % GRID_UPDATE_EVERY == 0:

@@ -41,12 +41,25 @@ def depth_loss(depth, gt_depth, near: float, far: float):
     return _masked_mean(err, mask)
 
 
-def sigma_loss(weights, z_vals, dists, gt_depth, near: float, far: float, err: float = 1.0):
+def sigma_loss(weights, z_vals, dists, gt_depth, near: float, far: float,
+               err: float = 1.0, max_dist: float = 0.0):
     """DS-NeRF ray-distribution loss: -log(w) * exp(-(z-d)^2 / 2err) * dist,
     summed over samples, averaged over in-volume rays
-    (reference models/loss.py:12-66)."""
+    (reference models/loss.py:12-66).
+
+    max_dist > 0 zeroes dist entries above it — i.e. the far_dist (1e10)
+    sentinel appended to the final sample. The reference multiplies that
+    sentinel in unmasked, but at its CARLA operating point (far=80, GT
+    depths far below the far plane) the Gaussian annihilates it
+    (exp(-(80-d)^2/2) ~ 0), so masking is behavior-preserving there; on
+    scenes whose background sits near the far plane (the synthetic scene:
+    near=2, far=8, ground at ~7) the unmasked sentinel dominates the loss
+    by ~8 orders of magnitude (measured: 4e9 vs 24,
+    artifacts/sigma_calibration_r5.json) and buries the in-volume signal."""
     w = jnp.where(weights <= 0, EPS, weights)
     mask = jnp.logical_and(gt_depth < far, gt_depth > near).astype(weights.dtype)
+    if max_dist > 0:
+        dists = jnp.where(dists > max_dist, 0.0, dists)
     per_sample = (
         -jnp.log(w)
         * jnp.exp(-((z_vals - gt_depth[:, None]) ** 2) / (2.0 * err))

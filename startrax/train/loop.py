@@ -111,6 +111,7 @@ def compute_losses(
             result["weights" + suff], result["z_vals" + suff],
             result["dists" + suff],
             batch["target_depth"], star_cfg.near, star_cfg.far,
+            max_dist=0.5 * star_cfg.far_dist,
         )
         loss = loss + loss_cfg.sigma_lambda * sl
         metrics["sigma_loss"] = sl

@@ -448,3 +448,39 @@ def test_schedule_accounts_for_accumulation():
     assert len(deltas) == 8
     early, late = abs(deltas[0]), abs(deltas[-1])
     assert late == pytest.approx(early * 0.5, rel=1e-3)
+
+
+def test_sigma_loss_sentinel_mask():
+    """sigma_loss max_dist masks the far_dist (1e10) filler sample. The
+    reference multiplies that sentinel in unmasked (models/loss.py:56-63),
+    but at its CARLA operating point the Gaussian annihilates it; on scenes
+    whose background sits near the far plane the unmasked sentinel dominates
+    by ~8 orders of magnitude (measured 4e9 vs 24,
+    artifacts/sigma_calibration_r5.json)."""
+    from startrax.ops.losses import sigma_loss
+
+    R, S = 4, 8
+    rng = np.random.default_rng(0)
+    z = jnp.sort(jnp.asarray(rng.uniform(2.0, 8.0, size=(R, S)).astype(np.float32)), axis=1)
+    w = jnp.asarray(rng.uniform(0.01, 0.2, size=(R, S)).astype(np.float32))
+    dists = jnp.concatenate(
+        [z[:, 1:] - z[:, :-1], jnp.full((R, 1), 1e10, jnp.float32)], axis=1)
+    gt = jnp.asarray(rng.uniform(6.5, 7.9, size=(R,)).astype(np.float32))
+
+    raw = float(sigma_loss(w, z, dists, gt, 2.0, 8.0))
+    masked = float(sigma_loss(w, z, dists, gt, 2.0, 8.0, max_dist=5e9))
+    assert raw > 1e6  # sentinel dominates unmasked
+    assert 0 < masked < 1e3
+    # masking only the sentinel == computing on the finite dists
+    dists_fin = dists.at[:, -1].set(0.0)
+    ref = float(sigma_loss(w, z, dists_fin, gt, 2.0, 8.0))
+    np.testing.assert_allclose(masked, ref, rtol=1e-6)
+    # reference operating point (GT depths far below the far plane vs a
+    # huge far): the sentinel term is ~0 either way -> masking is a no-op
+    gt_far = jnp.asarray(rng.uniform(5.0, 20.0, size=(R,)).astype(np.float32))
+    z_far = jnp.sort(jnp.asarray(rng.uniform(3.0, 80.0, size=(R, S)).astype(np.float32)), axis=1)
+    d_far = jnp.concatenate(
+        [z_far[:, 1:] - z_far[:, :-1], jnp.full((R, 1), 1e10, jnp.float32)], axis=1)
+    raw_ref = float(sigma_loss(w, z_far, d_far, gt_far, 3.0, 80.0))
+    masked_ref = float(sigma_loss(w, z_far, d_far, gt_far, 3.0, 80.0, max_dist=5e9))
+    np.testing.assert_allclose(raw_ref, masked_ref, rtol=1e-4)
