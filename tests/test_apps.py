@@ -87,6 +87,7 @@ def _tiny_synthetic_cfg(tmp_path, **overrides):
     return config_mod.Config(**base)
 
 
+@pytest.mark.slow
 def test_app_init_smoke(tmp_path):
     from startrax.apps import app_init
 
@@ -99,6 +100,7 @@ def test_app_init_smoke(tmp_path):
     assert any("train/fine_loss" in r for r in rows)
 
 
+@pytest.mark.slow
 def test_online_smoke_with_curriculum_and_ckpt(tmp_path):
     from startrax.apps import online
 
@@ -120,6 +122,7 @@ def test_online_smoke_with_curriculum_and_ckpt(tmp_path):
     assert (run_dir / "ckpts").exists()
 
 
+@pytest.mark.slow
 def test_online_mixed_frames_smoke(tmp_path):
     """Online app with per-ray mixed-frame batches trains end-to-end."""
     from startrax.apps import online
@@ -162,6 +165,7 @@ def test_mip_app_init_smoke(tmp_path):
     assert "static" in params
 
 
+@pytest.mark.slow
 def test_online_trans_only(tmp_path):
     import numpy as np
     from startrax.apps import online
@@ -177,6 +181,7 @@ def test_online_trans_only(tmp_path):
     np.testing.assert_allclose(q[..., 3], 1.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lego_app_smoke(tmp_path, monkeypatch):
     """Blender/lego training through the real app entry point."""
     import json
@@ -214,6 +219,7 @@ def test_lego_app_smoke(tmp_path, monkeypatch):
     assert "static_coarse" in params
 
 
+@pytest.mark.slow
 def test_online_pose_only_phases(tmp_path):
     """pose_only_every freezes field weights during pose-only epochs."""
     import jax
@@ -231,6 +237,7 @@ def test_online_pose_only_phases(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_online_app_depth_supervision_logged(tmp_path):
     """The online app's depth-supervised path end to end: the prefetched
     synthetic batches carry target_depth, the DS-NeRF depth term is applied
@@ -250,6 +257,7 @@ def test_online_app_depth_supervision_logged(tmp_path):
     assert len(dl) == 2 and all(np.isfinite(v) and v >= 0 for v in dl)
 
 
+@pytest.mark.slow
 def test_online_phase_machine_and_selection(tmp_path):
     """The promoted pose recipe drives the production app through its phase
     machine: fieldform -> barf -> joint curriculum -> block-coordinate polish
@@ -327,6 +335,7 @@ def test_score_frames_subsampling():
     assert _score_frames(cfg_cap, 0, 3) == [0, 1, 2]
 
 
+@pytest.mark.slow
 def test_online_selection_depth_and_subsampling(tmp_path):
     """selection=photometric_depth with frame/stride subsampling: the app
     runs through polish scoring epochs with the depth-augmented criterion on
@@ -351,6 +360,7 @@ def test_online_selection_depth_and_subsampling(tmp_path):
     assert scored and all(np.isfinite(h["score"]) for h in scored)
 
 
+@pytest.mark.slow
 def test_online_refit_anchor_polish(tmp_path):
     """polish_mode=refit_anchor: dynamic fields re-initialized and re-fit
     from frame-0 rays, poses-only recovery, then alternate — the GT-free
@@ -382,6 +392,7 @@ def test_online_refit_anchor_polish(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_online_gauge_align_depth_guard(tmp_path):
     """gauge_align with gauge_depth_lambda > 0: the gauge FIT loss and the
     guard's held-out criterion both carry the DS-NeRF depth term (the
@@ -416,6 +427,7 @@ def test_online_gauge_align_depth_guard(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_online_multi_start_polish(tmp_path):
     """multi_start_rounds > 0: after an alternation round completes, the app
     basin-hops — perturbed candidates get short pose-only polishes, are
@@ -450,6 +462,7 @@ def test_online_multi_start_polish(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_online_gauge_frame0_mode(tmp_path):
     """gauge_mode=frame0: the gauge is fitted on frame-0 rays against the
     PRODUCTION fields (no reference-field stage), the INVERSE correction is
@@ -482,6 +495,7 @@ def test_online_gauge_frame0_mode(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_online_selection_boundary_only(tmp_path):
     """selection_boundary_only: the run scores every epoch but the final
     pick prefers the best alternation-round-boundary epoch once >= 2
@@ -515,6 +529,7 @@ def test_online_selection_boundary_only(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_selection_and_guard_coarse_only(tmp_path):
     """selection_score and _guard_eval with N_importance=0 read the coarse
     ("0"-suffixed) render outputs instead of raising KeyError — the
@@ -539,6 +554,7 @@ def test_selection_and_guard_coarse_only(tmp_path):
     assert mass.shape == (star_cfg.num_vehicles,)
 
 
+@pytest.mark.slow
 def test_online_gauge_frame0_cap_rejects(tmp_path):
     """The frame-0 gauge's per-vehicle magnitude bound (ADVICE r4): with an
     impossible cap every fitted correction is rejected, the poses are left
@@ -570,6 +586,7 @@ def test_online_gauge_frame0_cap_rejects(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_online_gauge_align_polish(tmp_path):
     """polish_mode=gauge_align: fresh frame-0 reference fields fit on a
     scratch copy (production fields untouched), a shared per-vehicle SE(3)
@@ -623,6 +640,7 @@ def test_gauge_accept_rule():
     # vanishing possible, photometric alone decides
 
 
+@pytest.mark.slow
 def test_online_gauge_guard_rejects_garbage_fit(tmp_path, monkeypatch):
     """Guard plumbing end-to-end: when the held-out evaluation rejects every
     vehicle's correction, the fit is discarded (poses untouched), the gauge
@@ -675,6 +693,7 @@ def test_online_gauge_guard_rejects_garbage_fit(tmp_path, monkeypatch):
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_online_polish_substate_resumes(tmp_path):
     """The polish sub-state (alternation phase, rounds used, best-epoch
     snapshot) is checkpointed: a resumed run continues mid-polish instead of
@@ -711,6 +730,7 @@ def test_online_polish_substate_resumes(tmp_path):
     assert resumed and all(p["phase"].startswith("polish") for p in resumed)
 
 
+@pytest.mark.slow
 def test_online_app_sharded_matches_unsharded(tmp_path):
     """The app's OWN epoch path trains ray-sharded over the virtual-device
     mesh (data_parallel=on) and matches the unsharded run (round-2 VERDICT
@@ -738,6 +758,7 @@ def test_online_app_sharded_matches_unsharded(tmp_path):
                                np.asarray(p_off["poses"]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_online_test_protocol_end_to_end(tmp_path):
     """online.test() runs the full protocol from a saved checkpoint on the
     synthetic dataset: per-frame masked metric rows, RPE/ATE, 2D IoU, the
@@ -802,6 +823,7 @@ def test_frame_metrics_full_suite(tmp_path):
         assert k in row and np.isfinite(row[k]), k
 
 
+@pytest.mark.slow
 def test_mip_online_smoke_with_pose_metrics(tmp_path):
     """Mip online training logs pose trans/rot errors and renders a val view
     (reference train_online_mip.py val loop)."""
@@ -854,6 +876,7 @@ def test_mip_test_mode(tmp_path):
     assert (run_dir / "poses_vehicle0.txt").exists()
 
 
+@pytest.mark.slow
 def test_nerf_time_val_and_test(tmp_path):
     """The baseline now has val + test loops (reference train_nerf_time.py),
     emitting the same masked metric suite as STaR so the two are comparable."""

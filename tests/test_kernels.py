@@ -96,6 +96,7 @@ def test_fused_bwd_tile_decoupled_from_fwd_tile():
         )
 
 
+@pytest.mark.slow
 def test_fused_saved_acts_matches_recompute():
     """saved_acts=True streams forward activations to HBM for the backward
     instead of recomputing; both modes must produce the same value and the
@@ -213,6 +214,7 @@ def test_stacked_fields_fused_matches_vmap():
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_stacked_fused_grads_match_vmap():
     """The single-launch K-field kernel's weight/input/pose-path gradients
     match the vmapped XLA fields."""
@@ -498,6 +500,7 @@ def test_fused_warp_grads_match_eager(saved):
         )
 
 
+@pytest.mark.slow
 def test_apply_star_kernel_warp_matches_xla_warp(monkeypatch):
     """apply_star with the in-kernel warp == the XLA warp_to_vehicle_frames
     path, in outputs and in pose gradients."""
@@ -539,6 +542,7 @@ def test_apply_star_kernel_warp_matches_xla_warp(monkeypatch):
 
 
 @pytest.mark.parametrize("saved", [False, True])
+@pytest.mark.slow
 def test_input_grads_false_parity(saved):
     """input_grads=False (no per-point dx/dd HBM outputs; in-kernel pose-grad
     reduction) must produce identical weight AND warp gradients to the full
@@ -633,6 +637,7 @@ def test_dirs_stride_matches_broadcast(saved):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_render_star_io_t_matches_legacy(monkeypatch):
     """The channel-leading renderer path (pts_from_z_t -> apply_field_t ->
     rgb_t compositing) must match the legacy layout in every output AND in
@@ -679,6 +684,7 @@ def test_render_star_io_t_matches_legacy(monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_render_star_io_t_appinit_matches_legacy(monkeypatch):
     """io_t parity on the appearance-init (pose=None, single-field) path."""
     from startrax.models import star

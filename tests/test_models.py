@@ -128,6 +128,7 @@ def test_render_star_online_shapes():
         assert np.isfinite(float(out[k]))
 
 
+@pytest.mark.slow
 def test_pose_gradients_flow():
     """Photometric loss must produce nonzero gradients on the SE(3) pose —
     the mechanism that makes online tracking work."""
@@ -148,6 +149,7 @@ def test_pose_gradients_flow():
     assert float(jnp.max(jnp.abs(g))) > 0.0
 
 
+@pytest.mark.slow
 def test_batch_gradient_isolation():
     """Backprop one ray's output; all other rays' inputs get zero gradient
     (reference CheckBatchGradient, callbacks/check_batch_grad.py:7-51)."""

@@ -116,6 +116,7 @@ def test_march_counts_occupied_before_truncation():
     assert int(n2[0]) == int(np.asarray(v2[0]).sum()) == n_occ
 
 
+@pytest.mark.slow
 def test_star_occgrid_pair_matches_dense_compositing():
     """The static+dynamic occgrid pair (reference models/star_nerfacc.py:23-166)
     equals raw2outputs_star over the same samples when nothing is truncated,

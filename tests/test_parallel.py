@@ -78,6 +78,7 @@ def test_shard_batch_is_explicit_per_key():
     )
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """DP over rays must be semantics-preserving: the sharded train step
     produces the same loss and parameter update as the unsharded one."""

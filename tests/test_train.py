@@ -183,6 +183,7 @@ def test_online_step_mixed_frame_batch():
     )
 
 
+@pytest.mark.slow
 def test_online_step_depth_supervision():
     """DS-NeRF depth supervision in the online step (reference
     models/loss.py:4-9 + train_online__.py:265): the depth_loss metric is
@@ -239,6 +240,7 @@ def test_depth_and_sigma_supervision_coarse_only():
     assert np.isfinite(float(metrics["sigma_loss"]))
 
 
+@pytest.mark.slow
 def test_gauge_step_depth_term():
     """gauge_depth_lambda adds the DS-NeRF depth term to the gauge fit: the
     step runs with target_depth in the batch and the depth term changes the
@@ -268,6 +270,7 @@ def test_gauge_step_depth_term():
     assert np.abs(g_depth[..., :3] - g_plain[..., :3]).max() > 0
 
 
+@pytest.mark.slow
 def test_mixed_frame_pose_matches_shared_pose():
     """A per-ray pose table where all rays share one frame must render
     identically to the shared-pose path."""
@@ -423,6 +426,7 @@ def test_gc_checkpoints(tmp_path):
     assert float(restored["x"]) == 4.0
 
 
+@pytest.mark.slow
 def test_schedule_accounts_for_accumulation():
     """With accumulate_steps=k, LR milestones must fire at the same epoch in
     micro-step terms (MultiSteps advances schedules per effective step)."""
