@@ -15,7 +15,9 @@ pixel-perfect self-consistent supervision:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
+import os
 from typing import Dict, Tuple
 
 import numpy as np
@@ -76,6 +78,65 @@ def vehicle_sigma_rgb(pts_canonical: np.ndarray, k: int) -> Tuple[np.ndarray, np
     stripes = 0.55 + 0.45 * np.sin(14.0 * x) * np.sin(9.0 * y + 3.0 * z)
     rgb = base * stripes[..., None]
     return sigma.astype(np.float32), np.clip(rgb, 0.0, 1.0).astype(np.float32)
+
+
+_ACCEL_WARNED = False
+
+
+@functools.lru_cache(maxsize=8)
+def _accel_marcher(H: int, W: int, S: int, K: int):
+    """Jitted GT marcher for one (H, W, S, K) shape: the exact math of
+    SyntheticScene._render_frame_numpy in jnp, elementwise f32 end-to-end
+    (no matmuls, so no bf16 involved — numpy parity to float tolerance,
+    test_data.py::test_accel_render_matches_numpy)."""
+    import jax
+    import jax.numpy as jnp
+
+    blobs = jnp.asarray(_STATIC_BLOBS)
+    scales = jnp.asarray([0.45, 0.18, 0.22], jnp.float32)
+
+    def fn(rays_o, rays_d, z, Rk, tk, colors):
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z[:, None]  # [H,W,S,3]
+        sigma = jnp.zeros(pts.shape[:-1], jnp.float32)
+        rgb_acc = jnp.zeros(pts.shape[:-1] + (3,), jnp.float32)
+        for i in range(blobs.shape[0]):
+            bx, by, bz, rad, peak, r, g, b = (blobs[i, j] for j in range(8))
+            d2 = jnp.sum((pts - jnp.stack([bx, by, bz])) ** 2, -1)
+            s = peak * jnp.exp(-d2 / (2 * rad * rad / 9.0))
+            sigma = sigma + s
+            rgb_acc = rgb_acc + s[..., None] * jnp.stack([r, g, b])
+        ground = 20.0 * jnp.exp(-((pts[..., 1] + 1.0) ** 2) / 0.005)
+        sigma = sigma + ground
+        rgb_acc = rgb_acc + ground[..., None] * jnp.asarray(
+            [0.45, 0.45, 0.5], jnp.float32)
+        sigma_static = sigma
+
+        for k in range(K):
+            pts_can = jnp.einsum("ij,...j->...i", Rk[k], pts) + tk[k]
+            q = jnp.sum((pts_can / scales) ** 4, -1)
+            s_k = 80.0 * jnp.exp(-q / 2.0)
+            x, y, zz = pts_can[..., 0], pts_can[..., 1], pts_can[..., 2]
+            stripes = 0.55 + 0.45 * jnp.sin(14.0 * x) * jnp.sin(9.0 * y + 3.0 * zz)
+            rgb_k = jnp.clip(colors[k] * stripes[..., None], 0.0, 1.0)
+            sigma = sigma + s_k
+            rgb_acc = rgb_acc + s_k[..., None] * rgb_k
+
+        rgb = jnp.clip(rgb_acc / jnp.maximum(sigma[..., None], 1e-8), 0.0, 1.0)
+        dists = jnp.diff(z, append=z[-1] + (z[1] - z[0]))
+        dists = dists * jnp.linalg.norm(rays_d, axis=-1)[..., None]
+        alpha = 1.0 - jnp.exp(-sigma * dists)
+        T = jnp.cumprod(
+            jnp.concatenate(
+                [jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], -1),
+            -1)[..., :-1]
+        w = alpha * T
+        img = jnp.sum(w[..., None] * rgb, axis=-2)
+        depth = jnp.sum(w * z, axis=-1)
+        sigma_dyn = sigma - sigma_static
+        dyn_mask = jnp.sum(w * (sigma_dyn > 0.5 * sigma), axis=-1) > 0.1
+        return img, depth, dyn_mask
+
+    return jax.jit(fn)
 
 
 # --------------------------------------------------------------------------
@@ -177,7 +238,45 @@ class SyntheticScene:
     def render_frame(self, view: int, num_views: int, frame: int):
         """Ground-truth render: fine ray march through the analytic fields.
 
-        Returns (rgb [H,W,3], depth [H,W], dyn_mask [H,W] bool)."""
+        Returns (rgb [H,W,3], depth [H,W], dyn_mask [H,W] bool).
+
+        Dispatches to the jax-accelerated marcher (one jitted graph per
+        (H, W, S, K) shape, runs on the default backend — the TPU is idle
+        during dataset generation, and the numpy marcher costs ~27 s/frame
+        at 192^2 x 192 samples on this 1-core host vs milliseconds on
+        device; a 36-view x 8-frame 192^2 scene is 2+ h numpy vs ~1 min
+        accelerated). STARTRAX_SYNTH_NUMPY=1 forces the numpy path; both
+        produce the same scene to float tolerance (parity-tested)."""
+        if os.environ.get("STARTRAX_SYNTH_NUMPY") != "1":
+            try:
+                return self._render_frame_accel(view, num_views, frame)
+            except Exception as e:  # pragma: no cover - env-dependent
+                global _ACCEL_WARNED
+                if not _ACCEL_WARNED:
+                    print(f"synthetic: accel render failed ({e!r}); "
+                          "falling back to numpy", flush=True)
+                    _ACCEL_WARNED = True
+        return self._render_frame_numpy(view, num_views, frame)
+
+    def _render_frame_accel(self, view: int, num_views: int, frame: int):
+        from scipy.spatial.transform import Rotation
+
+        c2w = self.camera(view, num_views)
+        rays_o, rays_d = ray_ops.get_rays_np(self.H, self.W, self.K, c2w)
+        z = np.linspace(self.near, self.far, self.n_march, dtype=np.float32)
+        K = self.num_vehicles
+        Rk = np.stack([
+            Rotation.from_quat(self.gt_relative_pose(frame, k)[3:]).as_matrix()
+            for k in range(K)
+        ]).astype(np.float32)
+        tk = np.stack([self.gt_relative_pose(frame, k)[:3] for k in range(K)])
+        colors = np.stack([_VEHICLE_COLORS[k % 3] for k in range(K)])
+        fn = _accel_marcher(self.H, self.W, self.n_march, K)
+        img, dep, m = fn(rays_o, rays_d, z, Rk, tk, colors)
+        return (np.asarray(img, np.float32), np.asarray(dep, np.float32),
+                np.asarray(m))
+
+    def _render_frame_numpy(self, view: int, num_views: int, frame: int):
         c2w = self.camera(view, num_views)
         rays_o, rays_d = ray_ops.get_rays_np(self.H, self.W, self.K, c2w)
         z = np.linspace(self.near, self.far, self.n_march, dtype=np.float32)

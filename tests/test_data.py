@@ -384,3 +384,18 @@ def test_carla_depth_decode_golden():
     assert np.isclose(d[0, 0], 1000.0 * (1 + 2 * 256 + 3 * 65536) / (256 ** 3 - 1))
     assert np.isclose(d[0, 1], 1000.0)
     assert d[1, 1] == 0.0
+
+
+def test_accel_render_matches_numpy(monkeypatch):
+    """The jitted GT marcher must reproduce the numpy marcher to float
+    tolerance — caches generated by either engine are interchangeable."""
+    from startrax.data.synthetic import SyntheticScene
+
+    s = SyntheticScene(num_vehicles=2, num_frames=4, H=48, W=48, focal=48.0,
+                       n_march=64)
+    img_a, dep_a, m_a = s._render_frame_accel(1, 5, 2)
+    monkeypatch.setenv("STARTRAX_SYNTH_NUMPY", "1")
+    img_n, dep_n, m_n = s.render_frame(1, 5, 2)
+    np.testing.assert_allclose(img_a, img_n, atol=2e-5)
+    np.testing.assert_allclose(dep_a, dep_n, atol=2e-4)
+    assert (m_a == m_n).mean() > 0.999  # borderline pixels may flip
