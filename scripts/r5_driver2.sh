@@ -13,7 +13,7 @@ set -u
 cd /root/repo
 export PYTHONPATH=/root/.axon_site:/root/repo
 
-STOP_AFTER=${STOP_AFTER:-$(date -d "03:10" +%s 2>/dev/null || echo 9999999999)}
+STOP_AFTER=${STOP_AFTER:-$(date -d "tomorrow 03:05" +%s 2>/dev/null || echo 9999999999)}
 APPINIT=/tmp/e2e_r3_depth/e2e/app_init/ckpts
 DEPTH_CFG=startrax/configs/synthetic_star_online_depth.txt
 
@@ -61,6 +61,16 @@ print(json.dumps(rows, indent=1))
 PYEOF
 git add artifacts/ab_table_r5.json && git commit -m "r5: calibrated refnum A/B rows (seeds 1453/7/42 + r4 seed 23)"
 
+# ---- stage 3: occgrid speed bench ----
+if [ "$(date +%s)" -lt "$STOP_AFTER" ]; then
+    echo "[driver2] $(date) occgrid bench"
+    timeout 1800 nice -n -10 python scripts/occgrid_bench.py --minutes 8 \
+        --out /tmp/occgrid_bench > /tmp/occgrid_bench.log 2>&1
+    echo "[driver2] $(date) occgrid bench rc=$?"
+    cp -f /tmp/occgrid_bench/occgrid_bench.json artifacts/occgrid_bench_r5.json 2>/dev/null
+    git add artifacts/occgrid_bench_r5.json && \
+        git commit -m "r5: occgrid vs app-init time-to-loss bench"
+fi
 # ---- stage 2: sigma_loss A/B at seed 23 ----
 for arm in depth sigma_only depth_sigma; do
     if [ "$(date +%s)" -ge "$STOP_AFTER" ]; then echo "[driver2] deadline; skip arm $arm"; break; fi
@@ -71,8 +81,8 @@ for arm in depth sigma_only depth_sigma; do
         depth_sigma) EXTRA=(--set sigma_loss=true --set sigma_lambda=7e-6) ;;
     esac
     echo "[driver2] $(date) sigma A/B arm $arm"
-    timeout 1620 nice -n -10 python scripts/synthetic_e2e.py \
-        --config "$DEPTH_CFG" --minutes 18 --out /tmp/sigma_r5/$arm \
+    timeout 1400 nice -n -10 python scripts/synthetic_e2e.py \
+        --config "$DEPTH_CFG" --minutes 14 --out /tmp/sigma_r5/$arm \
         --appinit_ckpt "$APPINIT" --set seed=23 "${EXTRA[@]}" \
         > /tmp/sigma_r5_$arm.log 2>&1
     echo "[driver2] $(date) arm $arm rc=$?"
@@ -99,14 +109,4 @@ cp -f /tmp/sigma_calib2.json artifacts/sigma_calibration_r5.json 2>/dev/null
 git add artifacts/sigma_ab_r5.json artifacts/sigma_calibration_r5.json && \
     git commit -m "r5: sigma_loss A/B (depth / depth+sigma / sigma-only, calibrated lambda)"
 
-# ---- stage 3: occgrid speed bench ----
-if [ "$(date +%s)" -lt "$STOP_AFTER" ]; then
-    echo "[driver2] $(date) occgrid bench"
-    timeout 2100 nice -n -10 python scripts/occgrid_bench.py --minutes 10 \
-        --out /tmp/occgrid_bench > /tmp/occgrid_bench.log 2>&1
-    echo "[driver2] $(date) occgrid bench rc=$?"
-    cp -f /tmp/occgrid_bench/occgrid_bench.json artifacts/occgrid_bench_r5.json 2>/dev/null
-    git add artifacts/occgrid_bench_r5.json && \
-        git commit -m "r5: occgrid vs app-init time-to-loss bench"
-fi
 echo "[driver2] $(date) DONE"
