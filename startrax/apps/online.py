@@ -405,6 +405,19 @@ def train(cfg: Config):
         opt_state_polish = restored.get("opt_state_polish", opt_state_polish)
         opt_state_field = restored.get("opt_state_field", opt_state_field)
         cur = ckpt.curriculum_from_dict(restored["curriculum"])
+        # the admission threshold is config-derived calibration (m2 /
+        # tightened-m2 in the reference, tuned per capture), not independent
+        # run state: re-derive it from the CURRENT config so a per-scene
+        # recalibration (e.g. --online_thres_tightened) applies on resume
+        new_thr = (cur_cfg.tightened_thres
+                   if cur.current_frame > cur_cfg.initial_num_frames
+                   else cur_cfg.online_thres)
+        if new_thr != cur.threshold:
+            ws.log(f"curriculum threshold recalibrated on resume: "
+                   f"{cur.threshold:g} -> {new_thr:g}")
+            import dataclasses as _dc
+
+            cur = _dc.replace(cur, threshold=new_thr)
         resume_polish = restored.get("polish")
         if mesh is not None:
             # restored leaves may land on one device; train batches are
