@@ -19,6 +19,9 @@ RESUME_ARGS=()
 if [ -n "${R5_RESUME:-}" ]; then
     RESUME_ARGS=(--resume_from "$R5_RESUME")
 fi
+if [ -n "${R5_APPINIT_CKPT:-}" ]; then
+    RESUME_ARGS+=(--appinit_ckpt "$R5_APPINIT_CKPT")
+fi
 for kv in ${R5_EXTRA_SET:-}; do
     RESUME_ARGS+=(--set "$kv")
 done

@@ -54,6 +54,10 @@ class Config:
     # stratified (sorted) importance-sample u's + bitonic-merge z-union;
     # false = the reference's iid uniforms + full sort (rendering__.py:738)
     stratified_fine: bool = True
+    # field-MLP dispatch: true = fused Pallas kernel, false = plain-XLA
+    # path (escape hatch when Mosaic remote compiles are degraded/wedged);
+    # unset = auto (fused on TPU, XLA elsewhere)
+    use_fused: Optional[bool] = None
 
     # sampling / rendering
     N_rand: int = 1000
@@ -470,6 +474,7 @@ def star_config_from(cfg: Config):
         compute_dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32,
         reference_numerics=cfg.reference_numerics,
         stratified_fine=cfg.stratified_fine,
+        use_fused=cfg.use_fused,
     )
 
 
